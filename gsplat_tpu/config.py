@@ -1,0 +1,183 @@
+"""Dataclass config system with CLI reflection.
+
+Capability parity with the reference's argparse reflection
+(/root/reference/arguments/__init__.py:19-122): same flag names, shorthands
+and default values where observable — but configs are plain dataclasses,
+serialized to JSON (``cfg_args.json``) instead of the reference's
+``eval()``-of-Namespace-repr round trip (a noted reference hazard,
+SURVEY.md §7 "quirks").
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields
+from typing import List, Optional
+
+
+# Field metadata key marking a flag that also gets a one-letter shorthand
+# (reference: leading "_" attribute names, arguments/__init__.py:22-33).
+def _sh(default, **kw):
+    return field(default=default, metadata={"shorthand": True, **kw})
+
+
+@dataclass
+class ModelConfig:
+    """Parity: reference arguments/__init__.py:47-64 (ModelParams)."""
+    sh_degree: int = 3
+    source_path: str = _sh("")
+    model_path: str = _sh("")
+    images: str = _sh("images")
+    depths: str = _sh("")
+    resolution: int = _sh(-1)
+    white_background: bool = _sh(False)
+    train_test_exp: bool = False
+    data_device: str = "tpu"   # reference default "cuda"
+    eval: bool = False
+
+
+@dataclass
+class PipelineConfig:
+    """Parity: reference arguments/__init__.py:66-72 (PipelineParams)."""
+    convert_SHs_python: bool = False   # use the oracle SH path (cross-check)
+    compute_cov3D_python: bool = False # use the oracle covariance path
+    debug: bool = False
+    antialiasing: bool = False
+
+
+@dataclass
+class OptimizationConfig:
+    """Parity: reference arguments/__init__.py:74-100 (OptimizationParams).
+
+    Note the reference README documents opacity_lr=0.05 but the code default
+    is 0.025 (SURVEY.md §7); the code value is used here.
+    """
+    iterations: int = 30_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.025
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    exposure_lr_init: float = 0.01
+    exposure_lr_final: float = 0.001
+    exposure_lr_delay_steps: int = 0
+    exposure_lr_delay_mult: float = 0.0
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    depth_l1_weight_init: float = 1.0
+    depth_l1_weight_final: float = 0.01
+    random_background: bool = False
+    optimizer_type: str = "default"  # "default" | "sparse_adam"
+
+
+@dataclass
+class RasterizerConfig:
+    """TPU rasterizer knobs (new capability — no reference analogue).
+
+    tile_h × tile_w is the pixel tile used for binning AND the Pallas
+    composite block; (16, 128) maps one tile onto native f32 VPU register
+    tiling (sublane 16 = 2×8, lane 128).
+    """
+    tile_h: int = 8
+    tile_w: int = 128
+    # Static capacity of the duplicated (tile,depth)-key list; host doubles &
+    # re-jits on overflow (same pattern as Gaussian capacity doubling).
+    pairs_per_gaussian: float = 8.0   # M_cap = ceil(cap * this), rounded up
+    chunk: int = 128                  # gaussians per kernel step (lane width)
+    alpha_min: float = 1.0 / 255.0    # contribution floor   [CUDA parity]
+    alpha_max: float = 0.99           # alpha clamp          [CUDA parity]
+    transmittance_eps: float = 1e-4   # early-out threshold  [CUDA parity]
+    dilation: float = 0.3             # screen-space cov dilation (px^2)
+    use_pallas: bool = True           # False → pure-XLA oracle compositor
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type, prefix=""):
+    group = parser.add_argument_group(dc_type.__name__)
+    for f in fields(dc_type):
+        name = "--" + f.name
+        shorthand = f.metadata.get("shorthand", False)
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if callable(getattr(f, "default_factory", None)) and \
+                f.default_factory is not dataclasses.MISSING:  # type: ignore
+            default = f.default_factory()  # type: ignore
+        args = [name] + (["-" + f.name[0]] if shorthand else [])
+        if f.type in (bool, "bool"):
+            group.add_argument(*args, default=default, action="store_true")
+        else:
+            ty = {int: int, float: float, str: str,
+                  "int": int, "float": float, "str": str}.get(f.type, str)
+            group.add_argument(*args, default=default, type=ty)
+
+
+def extract(dc_type, args: argparse.Namespace):
+    """Build a dataclass instance from parsed argparse flags."""
+    kw = {}
+    for f in fields(dc_type):
+        if hasattr(args, f.name):
+            kw[f.name] = getattr(args, f.name)
+    out = dc_type(**kw)
+    if isinstance(out, ModelConfig) and out.source_path:
+        out.source_path = os.path.abspath(out.source_path)
+    return out
+
+
+def add_model_args(parser, *_): _add_dataclass_args(parser, ModelConfig)
+def add_pipeline_args(parser): _add_dataclass_args(parser, PipelineConfig)
+def add_optimization_args(parser): _add_dataclass_args(parser, OptimizationConfig)
+def add_rasterizer_args(parser): _add_dataclass_args(parser, RasterizerConfig)
+
+
+def save_cfg(model_path: str, cfgs: dict) -> None:
+    """Write the merged config snapshot (reference writes ``cfg_args``,
+    train.py:203-204; we write JSON, safe to re-load)."""
+    os.makedirs(model_path, exist_ok=True)
+    payload = {k: dataclasses.asdict(v) for k, v in cfgs.items()}
+    with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+def load_cfg(model_path: str) -> dict:
+    """Load a saved config snapshot and rebuild dataclasses."""
+    with open(os.path.join(model_path, "cfg_args.json")) as f:
+        payload = json.load(f)
+    types = {"model": ModelConfig, "pipeline": PipelineConfig,
+             "optimization": OptimizationConfig, "rasterizer": RasterizerConfig}
+    out = {}
+    for k, v in payload.items():
+        ty = types[k]
+        names = {f.name for f in fields(ty)}
+        out[k] = ty(**{kk: vv for kk, vv in v.items() if kk in names})
+    return out
+
+
+def get_combined_args(parser: argparse.ArgumentParser) -> argparse.Namespace:
+    """Merge saved training config with CLI overrides.
+
+    Parity: reference arguments/__init__.py:102-122 (get_combined_args), with
+    JSON instead of eval().
+    """
+    import sys
+    args_cmdline = parser.parse_args(sys.argv[1:])
+    merged = dict(vars(args_cmdline))
+    path = os.path.join(args_cmdline.model_path or "", "cfg_args.json")
+    if args_cmdline.model_path and os.path.exists(path):
+        saved = load_cfg(args_cmdline.model_path)
+        flat = {}
+        for dc in saved.values():
+            flat.update(dataclasses.asdict(dc))
+        # CLI wins only where explicitly provided (non-None / non-default-str)
+        defaults = {a.dest: parser.get_default(a.dest) for a in parser._actions}
+        for k, v in flat.items():
+            if k in merged and merged[k] == defaults.get(k):
+                merged[k] = v
+    return argparse.Namespace(**merged)

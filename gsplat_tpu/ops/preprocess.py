@@ -1,0 +1,158 @@
+"""Per-Gaussian screen-space preprocessing (pure jnp; autodiff provides the
+backward chain that the reference hand-derives in CUDA).
+
+TPU-native re-design of the reference rasterizer's *preprocess* kernel
+(diff-gaussian-rasterization forward, reconstructed in SURVEY.md §2.2):
+frustum cull → EWA perspective projection of the 3D covariance (Zwicker'02
+Jacobian with the 1.3·tan_fov clamp) → +0.3px screen-space dilation →
+optional Mip-Splatting antialiasing opacity correction → SH→RGB with clamp →
+3σ radius from the 2D eigenvalues. One fused vectorized pass over all N
+Gaussians; XLA maps it onto the VPU with no Python-side loop.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.core import sh as sh_lib
+from gsplat_tpu.core import transforms
+from gsplat_tpu.core.camera import CameraView
+
+
+class Preprocessed(NamedTuple):
+    mean2d: jnp.ndarray      # (N, 2) pixel coords (ndc2Pix convention)
+    depth: jnp.ndarray       # (N,) view-space z
+    conic: jnp.ndarray       # (N, 3) inverse 2D covariance (a, b, c)
+    color: jnp.ndarray       # (N, 3) RGB from SH (clamped at 0)
+    opacity: jnp.ndarray     # (N,) effective opacity (after AA correction)
+    radius: jnp.ndarray      # (N,) float pixel radius; 0 = culled
+    invdepth: jnp.ndarray    # (N,) 1/depth
+
+
+def ndc2pix(v, size):
+    """CUDA ndc2Pix parity: ((v+1)·S − 1)/2 — pixel centers at integers."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def preprocess(xyz: jnp.ndarray,            # (N,3)
+               scaling: jnp.ndarray,         # (N,3) activated (exp'd)
+               rotation: jnp.ndarray,        # (N,4) activated (normalized)
+               opacity: jnp.ndarray,         # (N,) activated (sigmoid'd)
+               features: jnp.ndarray,        # (N,K,3) SH coeffs, DC first
+               active_sh_degree,             # () int32 (traced)
+               cam: CameraView,
+               image_width: int, image_height: int,
+               *,
+               active_mask: jnp.ndarray | None = None,  # (N,) bool
+               scaling_modifier: float = 1.0,
+               antialiasing: bool = False,
+               dilation: float = 0.3,
+               cov3d_precomp: jnp.ndarray | None = None,   # (N,6) optional
+               colors_precomp: jnp.ndarray | None = None,  # (N,3) optional
+               ) -> Preprocessed:
+    """Project all Gaussians to screen space.
+
+    Functional parity with the reference CUDA preprocess (call-site contract:
+    reference gaussian_renderer/__init__.py:36-110) including its numeric
+    constants: z-near cull at 0.2, 1.3·tanfov frustum clamp, 0.3px dilation,
+    λ via mid±sqrt(max(0.1, mid²−det)), radius = ceil(3√λmax).
+    """
+    W, H = image_width, image_height
+    fx = W / (2.0 * cam.tanfovx)
+    fy = H / (2.0 * cam.tanfovy)
+
+    # --- projection ---
+    ones = jnp.ones_like(xyz[:, :1])
+    xyz_h = jnp.concatenate([xyz, ones], axis=-1)            # (N,4)
+    p_hom = xyz_h @ cam.full_proj.T                          # (N,4)
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+    p_view = xyz_h @ cam.world_view.T                        # (N,4)
+    depth = p_view[:, 2]
+
+    mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W),
+                        ndc2pix(p_proj[:, 1], H)], axis=-1)
+
+    # --- EWA 2D covariance ---
+    if cov3d_precomp is None:
+        cov3d = transforms.covariance_from_scaling_rotation(
+            scaling, scaling_modifier, rotation)             # (N,6)
+    else:
+        cov3d = cov3d_precomp
+    Vrk = transforms.cov6_to_mat(cov3d)                      # (N,3,3)
+
+    tz = depth
+    safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    limx = 1.3 * cam.tanfovx
+    limy = 1.3 * cam.tanfovy
+    txtz = jnp.clip(p_view[:, 0] / safe_tz, -limx, limx)
+    tytz = jnp.clip(p_view[:, 1] / safe_tz, -limy, limy)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    zero = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([fx / safe_tz, zero, -fx * tx / (safe_tz * safe_tz)], -1),
+        jnp.stack([zero, fy / safe_tz, -fy * ty / (safe_tz * safe_tz)], -1),
+    ], axis=-2)                                              # (N,2,3)
+    Wv = cam.world_view[:3, :3]                              # (3,3)
+    M = J @ Wv                                               # (N,2,3)
+    cov2d = M @ Vrk @ jnp.swapaxes(M, -1, -2)                # (N,2,2)
+
+    c00 = cov2d[:, 0, 0]
+    c01 = cov2d[:, 0, 1]
+    c11 = cov2d[:, 1, 1]
+    det_orig = c00 * c11 - c01 * c01
+    c00 = c00 + dilation
+    c11 = c11 + dilation
+    det = c00 * c11 - c01 * c01
+
+    safe_det = jnp.where(det == 0, 1.0, det)
+    inv_det = 1.0 / safe_det
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], -1)
+
+    mid = 0.5 * (c00 + c11)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+
+    # Mip-Splatting EWA antialiasing: convolution-scaling opacity correction
+    # (the reference's `antialiasing` raster setting, dr_aa branch).
+    if antialiasing:
+        h_conv = jnp.sqrt(jnp.maximum(2.5e-5, det_orig / safe_det))
+        opacity_eff = opacity * h_conv
+    else:
+        opacity_eff = opacity
+
+    # --- SH → RGB (clamped), degree masked by the warm-up state ---
+    if colors_precomp is None:
+        dirs = xyz - cam.camera_center[None, :]
+        # Double-where normalization: dead padding slots can sit exactly at
+        # the camera center, and sqrt's VJP at 0 is inf — 0·inf = NaN would
+        # poison the xyz gradient of those rows. Route the zero case through
+        # a constant so no derivative touches sqrt(0).
+        nz = jnp.sum(dirs * dirs, axis=-1, keepdims=True) > 0
+        safe_dirs = jnp.where(nz, dirs, 1.0)
+        norm = jnp.linalg.norm(safe_dirs, axis=-1, keepdims=True)
+        dirs = jnp.where(nz, safe_dirs / norm, 0.0)
+        K = features.shape[1]
+        max_deg = int(round(K ** 0.5)) - 1
+        basis = sh_lib.sh_basis(max_deg, dirs)               # (N,K)
+        k_active = (active_sh_degree + 1) ** 2
+        basis = jnp.where(jnp.arange(K)[None, :] < k_active, basis, 0.0)
+        color = jnp.einsum("nkc,nk->nc", features, basis) + 0.5
+        color = jnp.maximum(color, 0.0)
+    else:
+        color = colors_precomp
+
+    # --- visibility: z-cull at 0.2, zero/neg determinant cull ---
+    visible = (depth > 0.2) & (det > 0)
+    if active_mask is not None:
+        visible = visible & active_mask
+    radius = jnp.where(visible, radius, 0.0)
+
+    invdepth = jnp.where(depth > 0.2, 1.0 / jnp.where(depth == 0, 1.0, depth), 0.0)
+
+    return Preprocessed(mean2d=mean2d, depth=depth, conic=conic, color=color,
+                        opacity=opacity_eff, radius=radius, invdepth=invdepth)

@@ -1,0 +1,154 @@
+"""The differentiable render pipeline: preprocess → bin/sort → gather →
+tile-composite → background/exposure.
+
+This is the TPU-native counterpart of the reference's
+``GaussianRasterizer(...)`` call plus its Python wrapper
+(/root/reference/gaussian_renderer/__init__.py:18-128). Autodiff supplies
+every backward chain except compositing (custom-VJP Pallas kernel, with the
+pure-XLA compositor as oracle/fallback):
+
+  preprocess (jnp, autodiff)            ~ CUDA preprocess fwd+bwd
+  bin_gaussians (int ops, stop-grad)    ~ cub prefix-sum + radix sort
+  packed[gidx]  (XLA gather; transpose = scatter-add)   ~ per-tile fetch
+  composite_tiles (Pallas custom VJP)   ~ CUDA render fwd+bwd
+
+The screen-space mean gradient tap (``mean2d_tap``) reproduces the
+reference's zero-tensor trick (gaussian_renderer/__init__.py:25-30): pass
+zeros of shape (N,2) and take the loss gradient w.r.t. it; the tap is scaled
+by (W/2, H/2) so the magnitudes match the CUDA kernel's NDC-unit mean2D
+gradients that feed densification thresholds.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.config import RasterizerConfig
+from gsplat_tpu.core.camera import CameraView
+from gsplat_tpu.models.gaussian_model import GaussianParams
+from gsplat_tpu.ops import binning as binning_lib
+from gsplat_tpu.ops import composite_ref
+from gsplat_tpu.ops import preprocess as preprocess_lib
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray        # (3, H, W) clamped to [0,1]
+    invdepth: jnp.ndarray     # (1, H, W)
+    radii: jnp.ndarray        # (N,) float; 0 = invisible
+    num_pairs: jnp.ndarray    # () int32 — binning load (diagnostics)
+    overflow: jnp.ndarray     # () int32 — dropped pairs (should be 0)
+
+
+def pack_entries(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
+    """(N+1, 16) per-gaussian packed rows; row N is the zero padding row
+    addressed by sentinel indices. Column layout (consumed by the kernels):
+    0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
+    6..8 rgb, 9 invdepth, 10..15 zero padding."""
+    n = pre.mean2d.shape[0]
+    cols = jnp.concatenate([
+        pre.mean2d,                       # 0,1
+        pre.conic,                        # 2,3,4
+        pre.opacity[:, None],             # 5
+        pre.color,                        # 6,7,8
+        pre.invdepth[:, None],            # 9
+        jnp.zeros((n, 6), pre.mean2d.dtype),
+    ], axis=-1)
+    return jnp.concatenate([cols, jnp.zeros((1, 16), cols.dtype)], axis=0)
+
+
+def _tiles_to_image(tiles: jnp.ndarray, n_tiles_y: int, n_tiles_x: int,
+                    tile_h: int, tile_w: int, H: int, W: int) -> jnp.ndarray:
+    """(T, C, P) tile-flat → (C, H, W) cropped image."""
+    C = tiles.shape[1]
+    img = tiles.reshape(n_tiles_y, n_tiles_x, C, tile_h, tile_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(C, n_tiles_y * tile_h,
+                                               n_tiles_x * tile_w)
+    return img[:, :H, :W]
+
+
+def render(gaussians: GaussianParams,
+           cam: CameraView,
+           image_width: int,
+           image_height: int,
+           bg_color: jnp.ndarray,                 # (3,)
+           cfg: RasterizerConfig = RasterizerConfig(),
+           *,
+           scaling_modifier: float = 1.0,
+           antialiasing: bool = False,
+           mean2d_tap: Optional[jnp.ndarray] = None,   # (CAP,2) zeros tap
+           exposure: Optional[jnp.ndarray] = None,     # (3,4) affine
+           override_color: Optional[jnp.ndarray] = None,
+           cov3d_precomp: Optional[jnp.ndarray] = None,
+           m_cap: Optional[int] = None,
+           clamp: bool = True,
+           interpret: bool = False) -> RenderOutput:
+    """Render one camera view. Fully jittable; all shapes static.
+
+    Functional parity with reference gaussian_renderer/__init__.py:18-128
+    (same output contract: clamped image, radii/visibility, invdepth image,
+    exposure affine applied pre-clamp when given).
+    """
+    W, H = image_width, image_height
+    th, tw = cfg.tile_h, cfg.tile_w
+    n_tiles_x = -(-W // tw)
+    n_tiles_y = -(-H // th)
+    cap = gaussians.capacity
+    if m_cap is None:
+        m_cap = int(cap * cfg.pairs_per_gaussian)
+    m_cap = -(-m_cap // cfg.chunk) * cfg.chunk
+
+    pre = preprocess_lib.preprocess(
+        gaussians.xyz, gaussians.get_scaling(), gaussians.get_rotation(),
+        gaussians.get_opacity(), gaussians.get_features(),
+        gaussians.active_sh_degree, cam, W, H,
+        active_mask=gaussians.active, scaling_modifier=scaling_modifier,
+        antialiasing=antialiasing, dilation=cfg.dilation,
+        cov3d_precomp=cov3d_precomp, colors_precomp=override_color)
+
+    if mean2d_tap is not None:
+        # NDC-unit gradient tap (see module docstring).
+        tap_px = mean2d_tap * jnp.array([[0.5 * W, 0.5 * H]], jnp.float32)
+        pre = pre._replace(mean2d=pre.mean2d + tap_px)
+
+    b = binning_lib.bin_gaussians(
+        jax.lax.stop_gradient(pre.mean2d), jax.lax.stop_gradient(pre.depth),
+        jax.lax.stop_gradient(pre.radius),
+        image_width=W, image_height=H, tile_h=th, tile_w=tw, m_cap=m_cap,
+        align=cfg.chunk)
+
+    packed = pack_entries(pre)                       # (N+1, 16)
+    entries = packed[b.gidx_sorted]                  # (M, 16) — diff gather
+
+    if cfg.use_pallas:
+        from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
+        out = composite_tiles_pallas(
+            entries, b.tile_start, b.tile_count,
+            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=th, tile_w=tw,
+            chunk=cfg.chunk, alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
+            t_eps=cfg.transmittance_eps, interpret=interpret)
+    else:
+        out = composite_ref.composite_tiles_xla(
+            entries, b.tile_start, b.tile_count,
+            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=th, tile_w=tw,
+            chunk=cfg.chunk, alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
+            t_eps=cfg.transmittance_eps)
+
+    accum_img = _tiles_to_image(out.accum, n_tiles_y, n_tiles_x, th, tw, H, W)
+    t_img = _tiles_to_image(out.t_final[:, None, :], n_tiles_y, n_tiles_x,
+                            th, tw, H, W)[0]         # (H, W)
+
+    image = accum_img[:3] + t_img[None] * bg_color[:, None, None]
+    invdepth = accum_img[3:4]
+
+    if exposure is not None:
+        # Parity: reference gaussian_renderer/__init__.py:113-115.
+        image = jnp.einsum("chw,ck->khw", image, exposure[:3, :3]) \
+            + exposure[:3, 3, None, None]
+    if clamp:
+        image = jnp.clip(image, 0.0, 1.0)
+
+    return RenderOutput(image=image, invdepth=invdepth, radii=pre.radius,
+                        num_pairs=b.num_pairs, overflow=b.overflow)

@@ -1,0 +1,77 @@
+"""SSIM with the reference's exact windowing, as fused XLA convolutions.
+
+Parity targets:
+- /root/reference/utils/loss_utils.py:46-86 (reference conv2d SSIM: 11×11
+  Gaussian window σ=1.5, C1=0.01², C2=0.03², same-padding, per-channel
+  depthwise convolution, mean over all pixels).
+- /root/reference submodule fused-ssim (SURVEY.md §2.2): a CUDA
+  forward+backward fusion of the same math. On TPU the separable depthwise
+  convolution + elementwise chain is fused by XLA into a handful of
+  bandwidth-bound passes and autodiff provides the backward — profiling
+  shows no Pallas kernel is warranted at these sizes.
+
+Note the reference applies *same* (zero) padding, so window statistics near
+borders are biased exactly like the reference — kept for parity.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    """1D Gaussian kernel, normalized (reference loss_utils.py:46-49)."""
+    import numpy as np
+    xs = np.arange(window_size, dtype=np.float64)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma ** 2))
+    g = (g / g.sum()).astype(np.float32)
+    return tuple(g.tolist())
+
+
+def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable depthwise 2D Gaussian blur with same-padding.
+    x: (..., C, H, W)."""
+    w = jnp.asarray(_gaussian_window(window_size, sigma), jnp.float32)
+    pad = window_size // 2
+    batch_shape = x.shape[:-2]
+    H, W = x.shape[-2:]
+    xf = x.reshape((-1, 1, H, W))
+    kh = w.reshape(1, 1, window_size, 1)
+    kw = w.reshape(1, 1, 1, window_size)
+    y = jax.lax.conv_general_dilated(
+        xf, kh, (1, 1), [(pad, pad), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    y = jax.lax.conv_general_dilated(
+        y, kw, (1, 1), [(0, 0), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y.reshape(batch_shape + (H, W))
+
+
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+             sigma: float = 1.5, c1: float = 0.01 ** 2,
+             c2: float = 0.03 ** 2) -> jnp.ndarray:
+    """Per-pixel SSIM map; inputs (..., C, H, W) in [0,1]."""
+    mu1 = _blur(img1, window_size, sigma)
+    mu2 = _blur(img2, window_size, sigma)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
+    sigma12 = _blur(img1 * img2, window_size, sigma) - mu1_mu2
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM (reference `ssim`, loss_utils.py:52-63 / fused_ssim call
+    contract train.py:122)."""
+    return jnp.mean(ssim_map(img1, img2, window_size))
+
+
+# The reference exposes `fast_ssim` backed by the fused CUDA kernels
+# (loss_utils.py:89-91); on TPU the XLA path above IS the fused path.
+fast_ssim = ssim

@@ -1,0 +1,178 @@
+"""Host-side training driver around the jitted step.
+
+Parity: /root/reference/train.py:43-190 — random camera order without
+replacement per epoch, test/save/checkpoint hooks, viewer polling, progress
+reporting — plus the TPU-specific host duties: capacity doubling on
+overflow (gaussian or pair-list) and per-resolution jit caching.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import random
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.config import (ModelConfig, OptimizationConfig,
+                               PipelineConfig, RasterizerConfig)
+from gsplat_tpu.models import gaussian_model as gm
+from gsplat_tpu.ops import losses
+from gsplat_tpu.ops.rasterize import render
+from gsplat_tpu.scene import Scene
+from gsplat_tpu.train import checkpoint as ckpt_lib
+from gsplat_tpu.train import trainer
+from gsplat_tpu.utils.general import Timer
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
+          rcfg: RasterizerConfig, testing_iterations, saving_iterations,
+          checkpoint_iterations, start_checkpoint: Optional[str] = None,
+          network_gui_server=None, quiet: bool = False,
+          capacity_multiplier: float = 4.0):
+    """Run the full optimization. Returns (scene, state)."""
+    scene = Scene(dataset, dataset.sh_degree, capacity=0)
+    n0 = int(np.asarray(scene.gaussians.num_active()))
+    cap0 = _round_up(max(int(n0 * capacity_multiplier), 1024), 1024)
+    scene.gaussians = gm.pad_to_capacity(scene.gaussians, cap0)
+
+    train_cams = scene.getTrainCameras()
+    state = trainer.init_state(scene.gaussians, len(train_cams))
+    first_iter = 0
+    if start_checkpoint:
+        state, first_iter = ckpt_lib.load_checkpoint(start_checkpoint)
+        print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
+
+    bg_color = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
+                           else [0.0, 0.0, 0.0], jnp.float32)
+    use_sparse_adam = opt.optimizer_type == "sparse_adam"
+    use_depth = any(c.invdepthmap is not None for c in train_cams)
+    spatial_lr_scale = float(scene.cameras_extent)
+
+    viewpoint_stack = []
+    ema_loss = 0.0
+    ema_depth = 0.0
+    key = jax.random.PRNGKey(0)
+    timer = Timer()
+    t_start = time.time()
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        if network_gui_server is not None:
+            network_gui_server.poll(state, scene, pipe, rcfg, bg_color,
+                                    iteration, opt.iterations,
+                                    dataset.train_test_exp)
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(scene.getTrainCameras())
+        cam = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
+
+        H, W = cam.height, cam.width
+        gt = jnp.asarray(cam.image)
+        amask = jnp.asarray(cam.alpha_mask)
+        if cam.invdepthmap is not None and cam.depth_reliable:
+            inv_gt = jnp.asarray(cam.invdepthmap)
+            dmask = jnp.asarray(cam.depth_mask)
+        else:
+            inv_gt = jnp.zeros((1, H, W), jnp.float32)
+            dmask = jnp.zeros((1, H, W), jnp.float32)
+
+        if opt.random_background:
+            key, sub = jax.random.split(key)
+            bg = jax.random.uniform(sub, (3,))
+        else:
+            bg = bg_color
+
+        state, aux = trainer.train_step(
+            state, cam.view(), gt, amask, inv_gt, dmask, bg,
+            image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+            spatial_lr_scale=spatial_lr_scale,
+            antialiasing=pipe.antialiasing,
+            use_sparse_adam=use_sparse_adam,
+            train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+
+        # ---- host-side densification orchestration (train.py:163-174) ----
+        if iteration < opt.densify_until_iter:
+            if (iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0):
+                key, sub = jax.random.split(key)
+                use_ss = iteration > opt.opacity_reset_interval
+                state, ovf = trainer.densify_step(
+                    state, sub, float(scene.cameras_extent), opt=opt,
+                    use_screen_size_prune=use_ss)
+                ovf = int(ovf)
+                if ovf > 0:
+                    new_cap = _round_up(state.gaussians.capacity + max(
+                        ovf, state.gaussians.capacity), 1024)
+                    print(f"[iter {iteration}] capacity {state.gaussians.capacity}"
+                          f" → {new_cap} (overflow {ovf})")
+                    state = ckpt_lib.grow_capacity(state, new_cap)
+            if (iteration % opt.opacity_reset_interval == 0
+                    or (dataset.white_background
+                        and iteration == opt.densify_from_iter)):
+                state = trainer.opacity_reset_step(state)
+
+        loss_f = float(aux.loss)
+        depth_f = float(aux.depth_l1)
+        ema_loss = 0.4 * loss_f + 0.6 * ema_loss
+        ema_depth = 0.4 * depth_f + 0.6 * ema_depth
+        if int(aux.overflow) > 0:
+            # pair-list overflow: raise the static pair capacity and re-jit
+            rcfg = dataclasses.replace(
+                rcfg, pairs_per_gaussian=rcfg.pairs_per_gaussian * 2)
+            print(f"[iter {iteration}] pair overflow {int(aux.overflow)} — "
+                  f"pairs_per_gaussian → {rcfg.pairs_per_gaussian}")
+
+        if not quiet and iteration % 10 == 0:
+            n_act = int(np.asarray(state.gaussians.num_active()))
+            print(f"[{iteration}/{opt.iterations}] loss={ema_loss:.5f} "
+                  f"depth={ema_depth:.5f} n={n_act} "
+                  f"({(time.time()-t_start):.0f}s)", flush=True)
+
+        if iteration in testing_iterations:
+            report_eval(scene, state, rcfg, pipe, bg_color, iteration,
+                        dataset.train_test_exp)
+        if iteration in saving_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.gaussians = state.gaussians
+            scene.save(iteration, exposures=np.asarray(state.exposure)
+                       if dataset.train_test_exp else None)
+        if iteration in checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            ckpt_lib.save_checkpoint(
+                os.path.join(scene.model_path, f"chkpnt{iteration}.npz"),
+                state, iteration)
+
+    scene.gaussians = state.gaussians
+    return scene, state
+
+
+def report_eval(scene, state, rcfg, pipe, bg_color, iteration,
+                train_test_exp=False):
+    """Parity: reference training_report (train.py:214-252)."""
+    configs = [("test", scene.getTestCameras()),
+               ("train", [scene.getTrainCameras()[idx % len(scene.getTrainCameras())]
+                          for idx in range(5, 30, 5)])]
+    for name, cams in configs:
+        if not cams:
+            continue
+        l1_sum, psnr_sum = 0.0, 0.0
+        for cam in cams:
+            out = render(state.gaussians, cam.view(), cam.width, cam.height,
+                         bg_color, rcfg, antialiasing=pipe.antialiasing)
+            img = jnp.clip(out.image, 0.0, 1.0)
+            gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
+            if train_test_exp:
+                img = img[..., img.shape[-1] // 2:]
+                gt = gt[..., gt.shape[-1] // 2:]
+            l1_sum += float(losses.l1_loss(img, gt))
+            psnr_sum += float(losses.psnr(img[None], gt[None]).mean())
+        print(f"\n[ITER {iteration}] Evaluating {name}: "
+              f"L1 {l1_sum / len(cams):.6f} PSNR {psnr_sum / len(cams):.3f}")
