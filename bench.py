@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: rays(pixels)/s/chip, forward+backward, at 1080p.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference CUDA implementation trains garden-class scenes in
+~35-45 min @30k iterations on an A6000 (BASELINE.md), i.e. ~12 it/s at
+~1.1 Mpx → ≈1.4e7 pixels/s fwd+bwd. The benchmark runs the full jitted
+train step (render fwd+bwd incl. SSIM + Adam) on a synthetic scene at
+1920×1080 with 200k Gaussians.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+BASELINE_PIX_PER_S = 1.4e7
+
+
+def main():
+    import dataclasses
+    from gsplat_tpu.config import OptimizationConfig, RasterizerConfig
+    from gsplat_tpu.core.camera import CameraView
+    from gsplat_tpu.models import gaussian_model as gm
+    from gsplat_tpu.train import trainer
+
+    on_tpu = jax.default_backend() == "tpu"
+    W, H = (1920, 1080) if on_tpu else (256, 128)
+    n = 200_000 if on_tpu else 2_000
+    cap = n
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((n, 3)).astype(np.float32) * 2.0
+    pts[:, 2] += 6.0
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g = gm.create_from_pcd(pts, colors, max_sh_degree=3, capacity=cap)
+    g = dataclasses.replace(
+        g, active_sh_degree=jnp.asarray(3, jnp.int32),
+        opacity=g.opacity.at[:].set(0.0))
+    cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
+
+    opt = OptimizationConfig()
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=24.0)
+    state = trainer.init_state(g, 1)
+
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+    ones = jnp.ones((1, H, W), jnp.float32)
+    zeros = jnp.zeros((1, H, W), jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+
+    def step(state):
+        return trainer.train_step(
+            state, cam, gt, ones, zeros, zeros, bg,
+            image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+            spatial_lr_scale=1.0, antialiasing=False, use_sparse_adam=False,
+            train_test_exp=False, use_depth=False)
+
+    # warmup/compile
+    state, aux = step(state)
+    jax.block_until_ready(state.gaussians.xyz)
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state)
+    jax.block_until_ready(state.gaussians.xyz)
+    dt = time.perf_counter() - t0
+
+    pix_per_s = W * H * iters / dt
+    print(json.dumps({
+        "metric": "pixels_per_s_fwd_bwd_1080p" if on_tpu
+        else "pixels_per_s_fwd_bwd_small",
+        "value": round(pix_per_s, 1),
+        "unit": "pixels/s/chip",
+        "vs_baseline": round(pix_per_s / BASELINE_PIX_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,9 +37,11 @@ def main(argv=None):
     rcfg = cfg_lib.extract(cfg_lib.RasterizerConfig, args)
 
     if not dataset.model_path:
+        import dataclasses
         import uuid
         unique_str = os.getenv("OAR_JOB_ID") or str(uuid.uuid4())
-        dataset.model_path = os.path.join("./output/", unique_str[0:10])
+        dataset = dataclasses.replace(
+            dataset, model_path=os.path.join("./output/", unique_str[0:10]))
     print("Optimizing " + dataset.model_path)
     os.makedirs(dataset.model_path, exist_ok=True)
     cfg_lib.save_cfg(dataset.model_path, {

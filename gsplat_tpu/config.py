@@ -23,7 +23,7 @@ def _sh(default, **kw):
     return field(default=default, metadata={"shorthand": True, **kw})
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """Parity: reference arguments/__init__.py:47-64 (ModelParams)."""
     sh_degree: int = 3
@@ -38,7 +38,7 @@ class ModelConfig:
     eval: bool = False
 
 
-@dataclass
+@dataclass(frozen=True)
 class PipelineConfig:
     """Parity: reference arguments/__init__.py:66-72 (PipelineParams)."""
     convert_SHs_python: bool = False   # use the oracle SH path (cross-check)
@@ -47,7 +47,7 @@ class PipelineConfig:
     antialiasing: bool = False
 
 
-@dataclass
+@dataclass(frozen=True)
 class OptimizationConfig:
     """Parity: reference arguments/__init__.py:74-100 (OptimizationParams).
 
@@ -80,7 +80,7 @@ class OptimizationConfig:
     optimizer_type: str = "default"  # "default" | "sparse_adam"
 
 
-@dataclass
+@dataclass(frozen=True)
 class RasterizerConfig:
     """TPU rasterizer knobs (new capability — no reference analogue).
 
@@ -127,7 +127,8 @@ def extract(dc_type, args: argparse.Namespace):
             kw[f.name] = getattr(args, f.name)
     out = dc_type(**kw)
     if isinstance(out, ModelConfig) and out.source_path:
-        out.source_path = os.path.abspath(out.source_path)
+        out = dataclasses.replace(out,
+                                  source_path=os.path.abspath(out.source_path))
     return out
 
 

@@ -83,7 +83,8 @@ def composite_tiles_xla(entries: jnp.ndarray,     # (M, 16) packed
                         tile_h: int, tile_w: int, chunk: int = 32,
                         alpha_min: float = 1.0 / 255.0,
                         alpha_max: float = 0.99, t_eps: float = 1e-4,
-                        max_chunks: int | None = None) -> CompositeOut:
+                        max_chunks: int | None = None,
+                        tile_id_base=0) -> CompositeOut:
     """Vectorized over all tiles, lax.scan over entry chunks.
 
     O(T·max_chunks·G·P) — intended for tests/small scenes; the Pallas kernel
@@ -96,7 +97,7 @@ def composite_tiles_xla(entries: jnp.ndarray,     # (M, 16) packed
     if max_chunks is None:
         max_chunks = -(-M // G)
 
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    tile_ids = tile_id_base + jnp.arange(T, dtype=jnp.int32)
     ox = (tile_ids % n_tiles_x) * tile_w
     oy = (tile_ids // n_tiles_x) * tile_h
     p = jnp.arange(P, dtype=jnp.int32)

@@ -330,7 +330,8 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
         out_shape=jax.ShapeDtypeStruct((16, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            has_side_effects=True),
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tile_start, tile_count, entries_t, g_accum, g_t, accum, t_final, nc)
     return d_entries_t

@@ -83,6 +83,47 @@ def _lr_dict(opt: OptimizationConfig, step, spatial_lr_scale: float):
     }
 
 
+def camera_loss_grads(g: gm.GaussianParams, exposure_all, cam: CameraView,
+                      gt_image, alpha_mask, invdepth_gt, depth_mask, bg_color,
+                      step, *, image_width: int, image_height: int,
+                      opt: OptimizationConfig, rcfg: RasterizerConfig,
+                      antialiasing: bool, train_test_exp: bool,
+                      use_depth: bool):
+    """Loss + gradients for one camera (reference train.py:111-142).
+
+    Shared by the single-chip step and the camera-DP sharded step
+    (parallel/dp.py). Returns (loss, l1, depth_l1, render_out, grads,
+    exposure_grads, mean2d_tap_grad)."""
+    depth_w = expon_lr(step, opt.depth_l1_weight_init,
+                       opt.depth_l1_weight_final, max_steps=opt.iterations)
+
+    def loss_fn(trainables, exposure_all, tap):
+        params = gm.with_trainables(g, trainables)
+        exposure = (exposure_all[jnp.maximum(cam.exposure_idx, 0)]
+                    if train_test_exp else None)
+        out = render(params, cam, image_width, image_height, bg_color, rcfg,
+                     antialiasing=antialiasing, mean2d_tap=tap,
+                     exposure=exposure)
+        image = out.image * alpha_mask
+        l1 = losses.l1_loss(image, gt_image)
+        ssim_v = losses.ssim(image, gt_image)
+        loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
+        dl1 = jnp.abs((out.invdepth - invdepth_gt) * depth_mask).mean()
+        loss = loss + jnp.where(depth_w > 0, depth_w * dl1, 0.0) * use_depth
+        return loss, (l1, dl1, out)
+
+    tap0 = jnp.zeros((g.capacity, 2), jnp.float32)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+    (loss, (l1, dl1, out)), (grads, exp_grads, tap_grad) = grad_fn(
+        gm.trainables(g), exposure_all, tap0)
+    # Dead padding slots receive no gradient (defensive: keeps any numeric
+    # garbage in culled rows out of the Adam moments).
+    act = g.active
+    grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
+             for k, v in grads.items()}
+    return loss, l1, dl1, out, grads, exp_grads, tap_grad
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("image_width", "image_height", "opt", "rcfg",
@@ -104,34 +145,11 @@ def train_step(state: TrainState,
     """One optimization iteration (reference train.py:89-186)."""
     g = state.gaussians
     step = state.step + 1  # reference iterations are 1-based
-
-    depth_w = expon_lr(step, opt.depth_l1_weight_init, opt.depth_l1_weight_final,
-                       max_steps=opt.iterations)
-
-    def loss_fn(trainables, exposure_all, tap):
-        params = gm.with_trainables(g, trainables)
-        exposure = (exposure_all[jnp.maximum(cam.exposure_idx, 0)]
-                    if train_test_exp else None)
-        out = render(params, cam, image_width, image_height, bg_color, rcfg,
-                     antialiasing=antialiasing, mean2d_tap=tap,
-                     exposure=exposure)
-        image = out.image * alpha_mask
-        l1 = losses.l1_loss(image, gt_image)
-        ssim_v = losses.ssim(image, gt_image)
-        loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
-        dl1 = jnp.abs((out.invdepth - invdepth_gt) * depth_mask).mean()
-        loss = loss + jnp.where(depth_w > 0, depth_w * dl1, 0.0) * use_depth
-        return loss, (l1, dl1, out)
-
-    tap0 = jnp.zeros((g.capacity, 2), jnp.float32)
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-    (loss, (l1, dl1, out)), (grads, exp_grads, tap_grad) = grad_fn(
-        gm.trainables(g), state.exposure, tap0)
-    # Dead padding slots receive no gradient (defensive: keeps any numeric
-    # garbage in culled rows out of the Adam moments).
-    act = g.active
-    grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
-             for k, v in grads.items()}
+    loss, l1, dl1, out, grads, exp_grads, tap_grad = camera_loss_grads(
+        g, state.exposure, cam, gt_image, alpha_mask, invdepth_gt, depth_mask,
+        bg_color, step, image_width=image_width, image_height=image_height,
+        opt=opt, rcfg=rcfg, antialiasing=antialiasing,
+        train_test_exp=train_test_exp, use_depth=use_depth)
 
     # densification bookkeeping (train.py:164-167)
     in_densify = step < opt.densify_until_iter

@@ -1,0 +1,109 @@
+"""Multi-chip tests on the 8-virtual-CPU-device mesh (SURVEY.md §4d):
+camera DP equals sequential averaging; tile-sharded render equals
+single-device render."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gsplat_tpu.config import OptimizationConfig, RasterizerConfig
+from gsplat_tpu.models import gaussian_model as gm
+from gsplat_tpu.ops.rasterize import render
+from gsplat_tpu.parallel import dp, tile_shard
+from gsplat_tpu.parallel.mesh import make_mesh
+from gsplat_tpu.train import trainer
+from tests.test_rasterize import make_scene, cfg, TILE_H, TILE_W
+
+
+N_DEV = 8
+
+
+def test_mesh_helpers():
+    mesh = make_mesh((("data", -1),))
+    assert mesh.shape["data"] == N_DEV
+    mesh2 = make_mesh((("data", 2), ("tile", -1)))
+    assert mesh2.shape == {"data": 2, "tile": 4}
+
+
+def test_tile_sharded_render_matches_single(rng):
+    W, H = TILE_W, 8 * TILE_H
+    g, cam = make_scene(rng, n=300)
+    rcfg = cfg()
+    mesh = make_mesh((("tile", N_DEV),))
+    img_s, invd_s = jax.jit(lambda g_, c_: tile_shard.render_tile_sharded(
+        g_, c_, W, H, jnp.full(3, 0.3), rcfg, mesh))(g, cam)
+    out = render(g, cam, W, H, jnp.full(3, 0.3), rcfg)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(out.image),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(invd_s), np.asarray(out.invdepth),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dp_step_matches_grad_average(rng):
+    """One DP step over 8 identical cameras == single-camera step (the
+    psum-mean of identical grads is the same grad)."""
+    W, H = TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=100, cap=128)
+    rcfg = cfg()
+    opt = OptimizationConfig()
+    mesh = make_mesh((("data", N_DEV),))
+
+    state0 = trainer.init_state(g, N_DEV)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    ones = jnp.ones((1, H, W), jnp.float32)
+    zeros = jnp.zeros((1, H, W), jnp.float32)
+    bg = jnp.zeros(3)
+
+    step_fn = dp.make_dp_train_step(
+        mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+        spatial_lr_scale=1.0)
+    cam_b = dp.stack_camera_batch([cam] * N_DEV)
+    gt_b = jnp.tile(gt[None], (N_DEV, 1, 1, 1))
+    ones_b = jnp.tile(ones[None], (N_DEV, 1, 1, 1))
+    zeros_b = jnp.tile(zeros[None], (N_DEV, 1, 1, 1))
+    state_dp, aux_dp = step_fn(state0, cam_b, gt_b, ones_b, zeros_b, zeros_b,
+                               bg)
+
+    state_1, aux_1 = trainer.train_step(
+        state0, cam, gt, ones, zeros, zeros, bg, image_width=W,
+        image_height=H, opt=opt, rcfg=rcfg, spatial_lr_scale=1.0,
+        antialiasing=False, use_sparse_adam=False, train_test_exp=False,
+        use_depth=False)
+
+    np.testing.assert_allclose(float(aux_dp.loss), float(aux_1.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_dp.gaussians.xyz),
+                               np.asarray(state_1.gaussians.xyz),
+                               rtol=1e-4, atol=1e-7)
+    # densification stats: 8 views visited → denom 8x the single-view denom
+    np.testing.assert_allclose(np.asarray(state_dp.stats.denom),
+                               8 * np.asarray(state_1.stats.denom))
+
+
+def test_dp_step_different_cameras_runs(rng):
+    """Distinct per-device cameras: step executes and produces finite loss."""
+    W, H = TILE_W, TILE_H
+    g, cam = make_scene(rng, n=64, cap=64)
+    rcfg = cfg()
+    opt = OptimizationConfig()
+    mesh = make_mesh((("data", N_DEV),))
+    cams = []
+    for i in range(N_DEV):
+        c = dataclasses.replace(
+            cam, camera_center=cam.camera_center + 0.01 * i)
+        cams.append(c)
+    step_fn = dp.make_dp_train_step(
+        mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+        spatial_lr_scale=1.0)
+    state = trainer.init_state(g, N_DEV)
+    gt_b = jnp.asarray(rng.uniform(0, 1, (N_DEV, 3, H, W)), jnp.float32)
+    ones_b = jnp.ones((N_DEV, 1, H, W), jnp.float32)
+    zeros_b = jnp.zeros((N_DEV, 1, H, W), jnp.float32)
+    state, aux = step_fn(state, dp.stack_camera_batch(cams), gt_b, ones_b,
+                         zeros_b, zeros_b, jnp.zeros(3))
+    assert np.isfinite(float(aux.loss))
+    assert int(state.step) == 1

@@ -1,0 +1,165 @@
+"""Tests for optimizer, schedules-in-step, densification state machine."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.config import OptimizationConfig, RasterizerConfig
+from gsplat_tpu.models import gaussian_model as gm
+from gsplat_tpu.train import densify as densify_lib
+from gsplat_tpu.train import optim, trainer
+from tests.test_rasterize import make_scene, cfg, TILE_H, TILE_W
+
+
+def test_adam_matches_reference_formula(rng):
+    params = {"w": jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)}
+    grads = {"w": jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)}
+    st = optim.init(params)
+    lrs = {"w": jnp.asarray(0.01)}
+    p1, st1 = optim.apply_updates(params, grads, st, lrs)
+    # step 1: mu = 0.1 g, nu = 0.001 g²; update = lr·g/(|g|+eps)
+    g = np.asarray(grads["w"])
+    expect = np.asarray(params["w"]) - 0.01 * g / (np.abs(g) + 1e-15)
+    np.testing.assert_allclose(np.asarray(p1["w"]), expect, rtol=1e-5)
+
+
+def test_adam_visibility_masking(rng):
+    params = {"w": jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)}
+    grads = {"w": jnp.ones((8, 3), jnp.float32)}
+    st = optim.init(params)
+    mask = jnp.asarray([True, False] * 4)
+    p1, st1 = optim.apply_updates(params, grads, st, {"w": jnp.asarray(0.1)},
+                                  visibility_mask=mask)
+    w0 = np.asarray(params["w"])
+    w1 = np.asarray(p1["w"])
+    assert (w1[1] == w0[1]).all() and (w1[3] == w0[3]).all()
+    assert (w1[0] != w0[0]).all()
+    assert np.asarray(st1.mu["w"])[1].sum() == 0  # moments untouched
+
+
+def _mini_gaussians(rng, n=8, cap=16):
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return gm.create_from_pcd(pts, colors, 1, capacity=cap)
+
+
+def test_densify_clone_and_split(rng):
+    g = _mini_gaussians(rng)
+    adam = optim.init(gm.trainables(g))
+    stats = densify_lib.init_stats(g.capacity)
+    # gaussian 0: high grad + small scale → clone
+    # gaussian 1: high grad + large scale → split
+    g = dataclasses.replace(
+        g,
+        scaling=g.scaling.at[0].set(jnp.log(0.001)).at[1].set(jnp.log(10.0)))
+    stats = dataclasses.replace(
+        stats,
+        xyz_gradient_accum=stats.xyz_gradient_accum.at[0].set(1.0).at[1].set(1.0),
+        denom=stats.denom.at[:8].set(1.0))
+
+    g2, adam2, stats2, ovf = densify_lib.densify_and_prune(
+        g, adam, stats, jax.random.PRNGKey(0), max_grad=0.5,
+        min_opacity=0.005, extent=1.0, percent_dense=0.01,
+        use_screen_size_prune=False)
+    n0 = int(np.asarray(g.num_active()))
+    n2 = int(np.asarray(g2.num_active()))
+    # clone adds 1; split adds 2, removes original → net +2
+    assert n2 == n0 + 2, (n0, n2)
+    assert int(ovf) == 0
+    # gaussian 1 deactivated (split original)
+    assert not bool(g2.active[1])
+    # clone copy exists: some new slot equals gaussian 0's row exactly
+    new_rows = np.asarray(g2.xyz[8:])
+    assert (np.abs(new_rows - np.asarray(g.xyz[0])).sum(-1) < 1e-6).any()
+    # split scale reduced by 1/1.6
+    target = np.log(10.0 / 1.6)
+    new_scales = np.asarray(g2.scaling[8:])
+    assert (np.abs(new_scales - target) < 1e-4).any()
+    # stats zeroed
+    assert float(jnp.sum(stats2.xyz_gradient_accum)) == 0.0
+
+
+def test_densify_prune_low_opacity(rng):
+    g = _mini_gaussians(rng)
+    adam = optim.init(gm.trainables(g))
+    stats = densify_lib.init_stats(g.capacity)
+    g = dataclasses.replace(g, opacity=g.opacity.at[3].set(-10.0))  # ~0
+    g2, _, _, _ = densify_lib.densify_and_prune(
+        g, adam, stats, jax.random.PRNGKey(0), max_grad=1e9,
+        min_opacity=0.005, extent=1.0, percent_dense=0.01,
+        use_screen_size_prune=False)
+    assert not bool(g2.active[3])
+    assert int(np.asarray(g2.num_active())) == 7
+
+
+def test_densify_overflow_reported(rng):
+    g = _mini_gaussians(rng, n=16, cap=16)  # no free slots
+    adam = optim.init(gm.trainables(g))
+    stats = densify_lib.init_stats(16)
+    stats = dataclasses.replace(
+        stats, xyz_gradient_accum=jnp.ones(16), denom=jnp.ones(16))
+    g2, _, _, ovf = densify_lib.densify_and_prune(
+        g, adam, stats, jax.random.PRNGKey(0), max_grad=0.5,
+        min_opacity=0.005, extent=1.0, percent_dense=10.0,
+        use_screen_size_prune=False)
+    assert int(ovf) == 16  # 16 clones wanted, 0 free
+    # all originals still intact
+    assert int(np.asarray(g2.num_active())) == 16
+
+
+def test_reset_opacity(rng):
+    g = _mini_gaussians(rng)
+    adam = optim.init(gm.trainables(g))
+    adam = optim.AdamState(
+        mu={**adam.mu, "opacity": jnp.ones_like(adam.mu["opacity"])},
+        nu=adam.nu, count=adam.count)
+    g2, adam2 = densify_lib.reset_opacity(g, adam)
+    act = np.asarray(g2.get_opacity())[np.asarray(g2.active)]
+    assert (act <= 0.0101).all()
+    assert float(jnp.sum(adam2.mu["opacity"])) == 0.0
+
+
+def test_train_step_improves_loss(rng):
+    W, H = TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=100, cap=128)
+    rcfg = cfg()
+    opt = OptimizationConfig(iterations=100, position_lr_max_steps=100)
+    state = trainer.init_state(g, 1)
+    target = rng.uniform(0.2, 0.8, (3, H, W)).astype(np.float32)
+    gt = jnp.asarray(target)
+    ones = jnp.ones((1, H, W), jnp.float32)
+    zeros = jnp.zeros((1, H, W), jnp.float32)
+    bg = jnp.zeros(3)
+    losses = []
+    for _ in range(8):
+        state, aux = trainer.train_step(
+            state, cam, gt, ones, zeros, zeros, bg, image_width=W,
+            image_height=H, opt=opt, rcfg=rcfg, spatial_lr_scale=1.0,
+            antialiasing=False, use_sparse_adam=False, train_test_exp=False,
+            use_depth=False)
+        losses.append(float(aux.loss))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    # inactive slots unchanged
+    assert np.asarray(state.gaussians.xyz[100:]).sum() == 0.0
+
+
+def test_sh_degree_warmup(rng):
+    W, H = TILE_W, TILE_H
+    g, cam = make_scene(rng, n=16, sh_degree=2)
+    g = dataclasses.replace(g, active_sh_degree=jnp.asarray(0, jnp.int32))
+    opt = OptimizationConfig()
+    state = trainer.init_state(g, 1)
+    state = dataclasses.replace(state, step=jnp.asarray(999, jnp.int32))
+    gt = jnp.zeros((3, H, W))
+    ones = jnp.ones((1, H, W))
+    zeros = jnp.zeros((1, H, W))
+    state, _ = trainer.train_step(
+        state, cam, gt, ones, zeros, zeros, jnp.zeros(3), image_width=W,
+        image_height=H, opt=opt, rcfg=cfg(), spatial_lr_scale=1.0,
+        antialiasing=False, use_sparse_adam=False, train_test_exp=False,
+        use_depth=False)
+    assert int(state.gaussians.active_sh_degree) == 1
