@@ -183,6 +183,132 @@ def read_points3d_text(path: str):
     return (np.array(xyz), np.array(rgb, np.uint8), np.array(err))
 
 
+def read_points3d_full(path_bin: str = "", path_txt: str = ""):
+    """Full points3D records including ids (needed by the depth-scale tool;
+    parity: /root/reference/utils/read_write_model.py read_points3D_*).
+
+    Returns (ids (N,) i64, xyz (N,3) f64, rgb (N,3) u8, err (N,) f64)."""
+    if path_bin and os.path.exists(path_bin):
+        with open(path_bin, "rb") as f:
+            (n,) = _read(f, 8, "Q")
+            ids = np.empty(n, np.int64)
+            xyz = np.empty((n, 3))
+            rgb = np.empty((n, 3), np.uint8)
+            err = np.empty(n)
+            for i in range(n):
+                pid, x, y, z, r, g, b, e = _read(f, 43, "qdddBBBd")
+                ids[i] = pid
+                xyz[i] = (x, y, z)
+                rgb[i] = (r, g, b)
+                err[i] = e
+                (track_len,) = _read(f, 8, "Q")
+                f.seek(8 * track_len, os.SEEK_CUR)
+        return ids, xyz, rgb, err
+    ids, xyz, rgb, err = [], [], [], []
+    with open(path_txt) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = line.split()
+            ids.append(int(p[0]))
+            xyz.append([float(p[1]), float(p[2]), float(p[3])])
+            rgb.append([int(p[4]), int(p[5]), int(p[6])])
+            err.append(float(p[7]))
+    return (np.array(ids, np.int64), np.array(xyz),
+            np.array(rgb, np.uint8), np.array(err))
+
+
+# ------------------------------------------------------------------ writers
+# Parity target: /root/reference/utils/read_write_model.py write_model (full
+# COLMAP model writers, both formats) — used by offline tooling and tests.
+
+def write_cameras_binary(cams: Dict[int, ColmapCamera], path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for cam in cams.values():
+            mid = CAMERA_MODEL_IDS[cam.model]
+            f.write(struct.pack("<iiQQ", cam.id, mid, cam.width, cam.height))
+            f.write(struct.pack("<" + "d" * len(cam.params), *cam.params))
+
+
+def write_cameras_text(cams: Dict[int, ColmapCamera], path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+                f"# Number of cameras: {len(cams)}\n")
+        for cam in cams.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} {params}\n")
+
+
+def write_images_binary(images: Dict[int, ColmapImage], path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for im in images.values():
+            f.write(struct.pack("<i", im.id))
+            f.write(struct.pack("<dddd", *im.qvec))
+            f.write(struct.pack("<ddd", *im.tvec))
+            f.write(struct.pack("<i", im.camera_id))
+            f.write(im.name.encode("utf-8") + b"\x00")
+            n_pts = len(im.point3D_ids)
+            f.write(struct.pack("<Q", n_pts))
+            for (x, y), pid in zip(im.xys, im.point3D_ids):
+                f.write(struct.pack("<ddq", x, y, pid))
+
+
+def write_images_text(images: Dict[int, ColmapImage], path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+                f"# Number of images: {len(images)}\n")
+        for im in images.values():
+            q = " ".join(repr(float(v)) for v in im.qvec)
+            t = " ".join(repr(float(v)) for v in im.tvec)
+            f.write(f"{im.id} {q} {t} {im.camera_id} {im.name}\n")
+            pts = " ".join(f"{float(x)!r} {float(y)!r} {int(pid)}" for (x, y), pid
+                           in zip(im.xys, im.point3D_ids))
+            f.write(pts + "\n")
+
+
+def write_points3d_binary(ids, xyz, rgb, err, path: str) -> None:
+    """Writes points with empty tracks (track data is not retained by the
+    readers above; sufficient for init-point caches and tooling)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(ids)))
+        for pid, p, c, e in zip(ids, xyz, rgb, err):
+            f.write(struct.pack("<qdddBBBd", int(pid), *map(float, p),
+                                *map(int, c), float(e)))
+            f.write(struct.pack("<Q", 0))
+
+
+def write_points3d_text(ids, xyz, rgb, err, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+                f"# Number of points: {len(ids)}\n")
+        for pid, p, c, e in zip(ids, xyz, rgb, err):
+            f.write(f"{int(pid)} {float(p[0])!r} {float(p[1])!r} {float(p[2])!r} "
+                    f"{int(c[0])} {int(c[1])} {int(c[2])} {float(e)!r}\n")
+
+
+def write_model(cameras, images, points, sparse_dir: str,
+                binary: bool = True) -> None:
+    """points = (ids, xyz, rgb, err). Parity: read_write_model.write_model."""
+    os.makedirs(sparse_dir, exist_ok=True)
+    ext = ".bin" if binary else ".txt"
+    if binary:
+        write_cameras_binary(cameras, os.path.join(sparse_dir, "cameras" + ext))
+        write_images_binary(images, os.path.join(sparse_dir, "images" + ext))
+        write_points3d_binary(*points, os.path.join(sparse_dir, "points3D" + ext))
+    else:
+        write_cameras_text(cameras, os.path.join(sparse_dir, "cameras" + ext))
+        write_images_text(images, os.path.join(sparse_dir, "images" + ext))
+        write_points3d_text(*points, os.path.join(sparse_dir, "points3D" + ext))
+
+
 def read_model(sparse_dir: str):
     """Binary-first with text fallback (reference dataset_readers.py:146-155).
 

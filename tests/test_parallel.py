@@ -107,3 +107,56 @@ def test_dp_step_different_cameras_runs(rng):
                          zeros_b, zeros_b, jnp.zeros(3))
     assert np.isfinite(float(aux.loss))
     assert int(state.step) == 1
+
+
+def test_prim_sharded_render_matches_single(rng):
+    """Depth-slab primitive sharding + ordered segment merge matches the
+    single-device render. Tolerance covers the early-termination divergence
+    (slabs restart at local T=1; see prim_shard docstring) — bounded by the
+    transmittance at the cut, ~1e-2 worst case on saturated pixels."""
+    from gsplat_tpu.parallel import prim_shard
+    W, H = TILE_W, 4 * TILE_H
+    g, cam = make_scene(rng, n=400)
+    rcfg = cfg()
+    mesh = make_mesh((("prim", N_DEV),))
+    img_s, invd_s = jax.jit(lambda g_, c_: prim_shard.render_prim_sharded(
+        g_, c_, W, H, jnp.full(3, 0.25), rcfg, mesh))(g, cam)
+    out = render(g, cam, W, H, jnp.full(3, 0.25), rcfg)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(out.image),
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(invd_s), np.asarray(out.invdepth),
+                               rtol=0, atol=5e-3)
+
+
+def test_prim_sharded_grads_match_single(rng):
+    """Gradients through the sharded merge equal single-device gradients.
+
+    Uses low opacities so the early-termination cut never fires (no pixel
+    saturates) — isolating the merge math, which must then be exact."""
+    import gsplat_tpu.core.transforms as tf
+    from gsplat_tpu.parallel import prim_shard
+    W, H = TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=200)
+    g = dataclasses.replace(
+        g, opacity=jnp.full_like(g.opacity, float(tf.inverse_sigmoid(
+            jnp.asarray(0.2)))))
+    rcfg = cfg()
+    mesh = make_mesh((("prim", N_DEV),))
+    bg = jnp.full(3, 0.25)
+
+    def loss_sharded(xyz):
+        g2 = dataclasses.replace(g, xyz=xyz)
+        img, _ = prim_shard.render_prim_sharded(g2, cam, W, H, bg, rcfg, mesh)
+        return jnp.sum(img ** 2)
+
+    def loss_single(xyz):
+        g2 = dataclasses.replace(g, xyz=xyz)
+        return jnp.sum(render(g2, cam, W, H, bg, rcfg).image ** 2)
+
+    g_sharded = jax.jit(jax.grad(loss_sharded))(g.xyz)
+    g_single = jax.jit(jax.grad(loss_single))(g.xyz)
+    # dominant components match to ~1e-6 relative; atol covers f32
+    # reassociation noise (slab boundaries re-chunk the cumprod chains),
+    # which cancellation amplifies on near-zero components.
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-3, atol=5e-4)

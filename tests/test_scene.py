@@ -181,3 +181,100 @@ def test_camera_resolution_policy(tmp_path, rng):
     assert cam.width == 50
     cam = load_cam(-1, ci)          # small image: unchanged
     assert (cam.width, cam.height) == (200, 100)
+
+
+def test_colmap_writer_reader_roundtrip(tmp_path, rng):
+    """write_model → read_model round-trip, binary and text (parity surface
+    of reference utils/read_write_model.py)."""
+    cams = {1: colmap_lib.ColmapCamera(1, "PINHOLE", 64, 48,
+                                       np.array([60.0, 61.0, 32.0, 24.0]))}
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    imgs = {
+        5: colmap_lib.ColmapImage(
+            5, q, np.array([0.1, -0.2, 1.5]), 1, "img5.png",
+            xys=np.array([[1.5, 2.5], [3.0, 4.0]]),
+            point3D_ids=np.array([7, -1], np.int64)),
+    }
+    ids = np.array([7, 9], np.int64)
+    xyz = rng.standard_normal((2, 3))
+    rgb = rng.integers(0, 255, (2, 3)).astype(np.uint8)
+    err = np.array([0.5, 0.25])
+
+    for binary in (True, False):
+        d = str(tmp_path / ("bin" if binary else "txt"))
+        colmap_lib.write_model(cams, imgs, (ids, xyz, rgb, err), d,
+                               binary=binary)
+        cams2, imgs2, pts2 = colmap_lib.read_model(d)
+        assert cams2[1].model == "PINHOLE"
+        np.testing.assert_allclose(cams2[1].params, cams[1].params)
+        np.testing.assert_allclose(imgs2[5].qvec, q)
+        np.testing.assert_allclose(imgs2[5].tvec, imgs[5].tvec)
+        np.testing.assert_allclose(imgs2[5].xys, imgs[5].xys)
+        np.testing.assert_array_equal(imgs2[5].point3D_ids,
+                                      imgs[5].point3D_ids)
+        xyz2, rgb2, err2 = pts2
+        np.testing.assert_allclose(xyz2, xyz)
+        np.testing.assert_array_equal(rgb2, rgb)
+        ids2, xyz3, _, _ = colmap_lib.read_points3d_full(
+            os.path.join(d, "points3D.bin"), os.path.join(d, "points3D.txt"))
+        np.testing.assert_array_equal(ids2, ids)
+        np.testing.assert_allclose(xyz3, xyz)
+
+
+def test_make_depth_scale_tool(tmp_path, rng):
+    """End-to-end depth_params.json generation on a synthetic scene where
+    mono invdepth = colmap invdepth * 2 + 0.1 → expect scale≈0.5."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools import make_depth_scale
+
+    W, H = 64, 48
+    fx = fy = 60.0
+    n_pts = 60
+    # points in front of an identity camera
+    xyz = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-0.8, 0.8, n_pts),
+                    rng.uniform(2.0, 8.0, n_pts)], axis=1)
+    x_pix = fx * xyz[:, 0] / xyz[:, 2] + W / 2
+    y_pix = fy * xyz[:, 1] / xyz[:, 2] + H / 2
+    keep = (x_pix >= 0) & (x_pix < W) & (y_pix >= 0) & (y_pix < H)
+    xyz = xyz[keep]
+    xys = np.stack([x_pix[keep], y_pix[keep]], axis=1)
+    n = len(xyz)
+
+    cams = {1: colmap_lib.ColmapCamera(1, "PINHOLE", W, H,
+                                       np.array([fx, fy, W / 2, H / 2]))}
+    imgs = {1: colmap_lib.ColmapImage(
+        1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "v.png",
+        xys=xys, point3D_ids=np.arange(n, dtype=np.int64))}
+    pts = (np.arange(n, dtype=np.int64), xyz,
+           np.zeros((n, 3), np.uint8), np.zeros(n))
+    sparse = str(tmp_path / "scene" / "sparse" / "0")
+    colmap_lib.write_model(cams, imgs, pts, sparse, binary=True)
+
+    # mono invdepth map: invmono(px) = 2*invcolmap + 0.1 at every pixel via
+    # a smooth plane-ish fit is hard; instead make it constant per pixel by
+    # splatting nearest values — use a dense map from the analytic z of a
+    # plane: z constant 4.0 everywhere except we only need values AT the
+    # keypoints, and bilinear sampling of a smooth map. Build the map from
+    # invd = a/x-independent: render invmono = 2*(1/z_nearest)+0.1 by
+    # nearest-neighbor fill.
+    from scipy.interpolate import griddata  # scipy is in the torch stack
+    grid_y, grid_x = np.mgrid[0:H, 0:W]
+    invd = 1.0 / xyz[:, 2]
+    dense = griddata(xys, 2.0 * invd + 0.1, (grid_x, grid_y),
+                     method="nearest")
+    png16 = np.clip(dense * (2 ** 16), 0, 2 ** 16 - 1).astype(np.uint16)
+    depths_dir = str(tmp_path / "depths")
+    os.makedirs(depths_dir)
+    from PIL import Image
+    Image.fromarray(png16).save(os.path.join(depths_dir, "v.png"))
+
+    make_depth_scale.main(["--base_dir", str(tmp_path / "scene"),
+                           "--depths_dir", depths_dir])
+    with open(os.path.join(sparse, "depth_params.json")) as f:
+        params = json.load(f)
+    assert "v" in params
+    # nearest-fill + bilinear sampling adds noise; scale should still land
+    # near 0.5 (mono = 2*colmap + 0.1)
+    assert abs(params["v"]["scale"] - 0.5) < 0.15
