@@ -7,6 +7,7 @@ VPU (plus one small matmul if expressed as a basis-matrix product).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 C0 = 0.28209479177387814
@@ -68,7 +69,8 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """
     basis = sh_basis(deg, dirs)  # [..., K]
     K = (deg + 1) ** 2
-    return jnp.einsum("...ck,...k->...c", sh[..., :K], basis)
+    return jnp.einsum("...ck,...k->...c", sh[..., :K], basis,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rgb2sh(rgb):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,7 +92,9 @@ def covariance_from_scaling_rotation(scaling: jnp.ndarray, scaling_modifier,
     Parity: reference scene/gaussian_model.py:33-37 + utils/general_utils.py:64-76.
     """
     L = build_scaling_rotation(scaling_modifier * scaling, rotation)
-    C = L @ jnp.swapaxes(L, -1, -2)
+    # full f32: TPU matmuls default to bf16, which distorts thin covariances
+    C = jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.stack([C[..., 0, 0], C[..., 0, 1], C[..., 0, 2],
                       C[..., 1, 1], C[..., 1, 2], C[..., 2, 2]], axis=-1)
 

@@ -64,7 +64,8 @@ def _chunk_update(chunk_data, valid, carry, px, py, base_rank, *,
         [jnp.ones_like(cum2[:, :1]), cum2[:, :-1]], axis=1)
     wgt = t_excl2 * a2                                       # (T,G,P)
 
-    accum = accum + jnp.einsum("tgp,tgc->tcp", wgt, col)
+    accum = accum + jnp.einsum("tgp,tgc->tcp", wgt, col,
+                               precision=jax.lax.Precision.HIGHEST)
     t_out = t_in * cum2[:, -1:, :]
     done_out = done_in | jnp.any(cross, axis=1, keepdims=True)
     rank = base_rank[:, :, None] + 1                          # (T,G,1)

@@ -61,7 +61,8 @@ def _vgg_features(x, convs):
             w, bias = convs[i]
             h = jax.lax.conv_general_dilated(
                 h, w, (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NCHW", "OIHW", "NCHW")) + \
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGHEST) + \
                 bias[None, :, None, None]
             h = jax.nn.relu(h)
             i += 1

@@ -62,14 +62,19 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
     W, H = image_width, image_height
     fx = W / (2.0 * cam.tanfovx)
     fy = H / (2.0 * cam.tanfovy)
+    # All matmuls below run at HIGHEST precision: TPU defaults them to bf16,
+    # which costs ~0.4% relative error on screen positions / covariances —
+    # visible blur and (via cancellation) NaN hazards. These are K∈{3,4}
+    # contractions; full f32 is free next to compositing.
+    HI = jax.lax.Precision.HIGHEST
 
     # --- projection ---
     ones = jnp.ones_like(xyz[:, :1])
     xyz_h = jnp.concatenate([xyz, ones], axis=-1)            # (N,4)
-    p_hom = xyz_h @ cam.full_proj.T                          # (N,4)
+    p_hom = jnp.matmul(xyz_h, cam.full_proj.T, precision=HI)  # (N,4)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
-    p_view = xyz_h @ cam.world_view.T                        # (N,4)
+    p_view = jnp.matmul(xyz_h, cam.world_view.T, precision=HI)  # (N,4)
     depth = p_view[:, 2]
 
     mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W),
@@ -98,8 +103,9 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
         jnp.stack([zero, fy / safe_tz, -fy * ty / (safe_tz * safe_tz)], -1),
     ], axis=-2)                                              # (N,2,3)
     Wv = cam.world_view[:3, :3]                              # (3,3)
-    M = J @ Wv                                               # (N,2,3)
-    cov2d = M @ Vrk @ jnp.swapaxes(M, -1, -2)                # (N,2,2)
+    M = jnp.matmul(J, Wv, precision=HI)                      # (N,2,3)
+    cov2d = jnp.matmul(jnp.matmul(M, Vrk, precision=HI),
+                       jnp.swapaxes(M, -1, -2), precision=HI)  # (N,2,2)
 
     c00 = cov2d[:, 0, 0]
     c01 = cov2d[:, 0, 1]
@@ -141,7 +147,8 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
         basis = sh_lib.sh_basis(max_deg, dirs)               # (N,K)
         k_active = (active_sh_degree + 1) ** 2
         basis = jnp.where(jnp.arange(K)[None, :] < k_active, basis, 0.0)
-        color = jnp.einsum("nkc,nk->nc", features, basis) + 0.5
+        color = jnp.einsum("nkc,nk->nc", features, basis,
+                           precision=HI) + 0.5
         color = jnp.maximum(color, 0.0)
     else:
         color = colors_precomp

@@ -145,7 +145,8 @@ def render(gaussians: GaussianParams,
 
     if exposure is not None:
         # Parity: reference gaussian_renderer/__init__.py:113-115.
-        image = jnp.einsum("chw,ck->khw", image, exposure[:3, :3]) \
+        image = jnp.einsum("chw,ck->khw", image, exposure[:3, :3],
+                           precision=jax.lax.Precision.HIGHEST) \
             + exposure[:3, 3, None, None]
     if clamp:
         image = jnp.clip(image, 0.0, 1.0)

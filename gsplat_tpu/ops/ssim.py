@@ -41,12 +41,19 @@ def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
     xf = x.reshape((-1, 1, H, W))
     kh = w.reshape(1, 1, window_size, 1)
     kw = w.reshape(1, 1, 1, window_size)
+    # precision=HIGHEST: TPU convs default to bf16, and the downstream
+    # variance blur(x²) − mu² cancels catastrophically — bf16 error (~2e-3)
+    # can push σ1²+σ2² below −c2, flipping the SSIM denominator's sign and
+    # producing ±inf loss (observed on-chip; the 11-tap depthwise convs are
+    # bandwidth-bound, so full f32 costs nothing).
     y = jax.lax.conv_general_dilated(
         xf, kh, (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     y = jax.lax.conv_general_dilated(
         y, kw, (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return y.reshape(batch_shape + (H, W))
 
 
@@ -59,8 +66,13 @@ def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
+    # True variances are nonnegative; clamp the float-cancellation residue
+    # (≲1e-6 in f32) so the denominator can never cross zero. Values stay
+    # within float error of the reference's unclamped math.
+    sigma1_sq = jnp.maximum(
+        _blur(img1 * img1, window_size, sigma) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(
+        _blur(img2 * img2, window_size, sigma) - mu2_sq, 0.0)
     sigma12 = _blur(img1 * img2, window_size, sigma) - mu1_mu2
     return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

@@ -39,6 +39,10 @@ def main():
                                                 endpoint=False)]
     gts = [jnp.clip(render(g_gt, c, W, H, bg, rcfg).image, 0, 1)
            for c in cams]
+    for ci, gt in enumerate(gts):
+        nb = int((~np.isfinite(np.asarray(gt))).sum())
+        if nb:
+            print(f"gt[{ci}] has {nb} non-finite pixels!")
 
     sel = rng.choice(n_gt, n_init, replace=False)
     init_pts = pts[sel] + 0.05 * rng.standard_normal(
@@ -75,8 +79,10 @@ def main():
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
+    prev = state
     for it in range(1, iters + 1):
         i = rng.integers(0, len(cams))
+        prev = state
         state, aux = trainer.train_step(
             state, cams[i], gts[i], ones, zeros, zeros, bg,
             image_width=W, image_height=H, opt=opt, rcfg=rcfg,
@@ -84,6 +90,19 @@ def main():
             train_test_exp=False, use_depth=False)
         if not np.isfinite(float(aux.loss)):
             print(f"iter {it}: loss NaN (cam {i})")
+            g = prev.gaussians
+            np.savez("/tmp/nan_repro.npz", cam=i,
+                     **{k: np.asarray(getattr(g, k)) for k in
+                        ("xyz", "f_dc", "f_rest", "scaling", "rotation",
+                         "opacity", "active", "active_sh_degree")})
+            np.save("/tmp/nan_gt.npy", np.asarray(gts[i]))
+            import pickle
+            leaves, treedef = jax.tree_util.tree_flatten(prev)
+            with open("/tmp/nan_state.pkl", "wb") as f:
+                pickle.dump(([np.asarray(x) for x in leaves], treedef), f)
+            print("saved /tmp/nan_repro.npz + /tmp/nan_gt.npy + "
+                  "/tmp/nan_state.pkl")
+            break
         if check(state, it, impl):
             # dump state stats on the first bad iter
             g = state.gaussians
