@@ -48,7 +48,9 @@ def main():
     cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
 
     opt = OptimizationConfig()
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=24.0)
+    # ~7.1M pairs at this scene/resolution; 48/gaussian leaves headroom so
+    # the pair list never truncates (overflow would flatter the numbers)
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=48.0)
     state = trainer.init_state(g, 1)
 
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))

@@ -85,14 +85,16 @@ class RasterizerConfig:
     """TPU rasterizer knobs (new capability — no reference analogue).
 
     tile_h × tile_w is the pixel tile used for binning AND the Pallas
-    composite block; (16, 128) maps one tile onto native f32 VPU register
-    tiling (sublane 16 = 2×8, lane 128).
+    composite block. Pixels live on sublanes and gaussians on lanes inside
+    the kernel, so the tile shape is free of the 128-lane constraint;
+    16×16 (P=256) minimizes work = Σ pairs·P for typical splat radii
+    (CUDA reference uses 16×16 for the same reason).
     """
-    tile_h: int = 8
-    tile_w: int = 128
+    tile_h: int = 16
+    tile_w: int = 16
     # Static capacity of the duplicated (tile,depth)-key list; host doubles &
     # re-jits on overflow (same pattern as Gaussian capacity doubling).
-    pairs_per_gaussian: float = 8.0   # M_cap = ceil(cap * this), rounded up
+    pairs_per_gaussian: float = 16.0   # M_cap = ceil(cap * this), rounded up
     chunk: int = 128                  # gaussians per kernel step (lane width)
     alpha_min: float = 1.0 / 255.0    # contribution floor   [CUDA parity]
     alpha_max: float = 0.99           # alpha clamp          [CUDA parity]

@@ -91,12 +91,20 @@ def covariance_from_scaling_rotation(scaling: jnp.ndarray, scaling_modifier,
 
     Parity: reference scene/gaussian_model.py:33-37 + utils/general_utils.py:64-76.
     """
-    L = build_scaling_rotation(scaling_modifier * scaling, rotation)
-    # full f32: TPU matmuls default to bf16, which distorts thin covariances
-    C = jnp.matmul(L, jnp.swapaxes(L, -1, -2),
-                   precision=jax.lax.Precision.HIGHEST)
-    return jnp.stack([C[..., 0, 0], C[..., 0, 1], C[..., 0, 2],
-                      C[..., 1, 1], C[..., 1, 2], C[..., 2, 2]], axis=-1)
+    # Component form of L·Lᵀ with L = R·diag(s): C_ij = Σ_k s_k² R_ik R_jk.
+    # Explicit arithmetic keeps it exact f32 on the VPU — a batched (N,3,3)
+    # matmul would hit the MXU at bf16 (distorting thin covariances) with
+    # heavy lane padding.
+    R = quat_to_rotmat(rotation)
+    s2 = jnp.square(scaling_modifier * scaling)              # (...,3)
+
+    def c(i, j):
+        return (s2[..., 0] * R[..., i, 0] * R[..., j, 0]
+                + s2[..., 1] * R[..., i, 1] * R[..., j, 1]
+                + s2[..., 2] * R[..., i, 2] * R[..., j, 2])
+
+    return jnp.stack([c(0, 0), c(0, 1), c(0, 2),
+                      c(1, 1), c(1, 2), c(2, 2)], axis=-1)
 
 
 def cov6_to_mat(cov6: jnp.ndarray) -> jnp.ndarray:

@@ -2,45 +2,76 @@
 
 TPU-native replacement for the reference rasterizer's cub pipeline
 (InclusiveSum → key duplication → 64-bit radix sort → tile ranges; SURVEY.md
-§2.2). Instead of CUDA's prefix-sum + per-thread scatter we use the
-static-shape "repeat" trick: ``jnp.repeat(arange(N), counts,
-total_repeat_length=M_cap)`` expands each Gaussian into exactly
-rect-area-many (tile, depth) entries inside a fixed capacity buffer, then one
-``lax.sort`` with two keys (tile id, f32 depth — exact ordering, no key
-quantization) groups entries per tile in front-to-back order. Per-tile ranges
-come from two searchsorted passes. Overflow beyond M_cap is counted and
-surfaced so the host can double capacity and re-jit (same policy as Gaussian
-capacity growth).
+§2.2). The construction is shaped by two measured TPU facts:
+
+- ``jnp.searchsorted`` and random gathers over the multi-million-entry list
+  cost 40–70 ms per call (the scalar-gather path); scatters at N size and
+  cumsums at M size cost ~5 ms.
+- every per-entry quantity we need is piecewise constant along the
+  gaussian-major (and later tile-major) order, so each "gather by monotone
+  index" is replaced by a **scatter of value-diffs at the run starts + one
+  cumsum** — exact in int arithmetic even under int32 wraparound (telescoping
+  sums), with f32 depth carried through its monotone int32 bit pattern.
+
+Pipeline:
+1. per-gaussian rects → counts/offsets (N-sized),
+2. expansion: marker-scatter + cumsum yields the entry→gaussian map and the
+   per-entry rect parameters; tile id and depth key are computed pointwise,
+3. per-tile counts via a 4-corner summed-area scatter over the tile grid
+   (each rect contributes ±1 at its corners; 2D cumsum = histogram),
+4. one ``lax.sort`` with (tile, depth-bits) keys — exact depth ordering,
+5. align: sorted entry p moves to padded_start[tile] + rank, where the shift
+   is itself expanded by a diff-scatter + cumsum — one collision-free
+   permutation scatter lands the chunk-aligned layout the Pallas kernels
+   require (per-tile ranges start and end on chunk boundaries).
+
+Overflow beyond m_cap is counted and surfaced so the host can double
+capacity and re-jit. An overflowing frame's per-tile ranges are clamped to
+stay in-bounds (memory-safe) but its content is garbage — callers must treat
+``overflow > 0`` frames as invalid, grow, and re-render.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 
 class Binning(NamedTuple):
-    gidx_sorted: jnp.ndarray   # (M_cap,) int32 gaussian index per entry (N = pad)
-    tile_sorted: jnp.ndarray   # (M_cap,) int32 tile id per entry (n_tiles = pad)
+    gidx_sorted: jnp.ndarray   # (M_out,) int32 gaussian index per entry (N = pad)
+    tile_sorted: Optional[jnp.ndarray]  # (M_cap,) int32 per entry; None if align>1
     tile_start: jnp.ndarray    # (T,) int32 first entry per tile
     tile_count: jnp.ndarray    # (T,) int32 entries per tile
     num_pairs: jnp.ndarray     # () int32 total real entries (pre-truncation)
-    overflow: jnp.ndarray      # () int32 dropped entries (0 if M_cap sufficed)
+    overflow: jnp.ndarray      # () int32 dropped entries (0 if m_cap sufficed)
 
 
 def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
               n_tiles_x: int, n_tiles_y: int, tile_h: int, tile_w: int):
     """Inclusive-exclusive tile rectangle [x0,x1)×[y0,y1) covered by each
-    Gaussian's radius. CUDA getRect parity (BLOCK → our tile_h/tile_w)."""
-    x0 = jnp.clip(((mean2d[:, 0] - radius) / tile_w), 0, n_tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(((mean2d[:, 1] - radius) / tile_h), 0, n_tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(((mean2d[:, 0] + radius + tile_w - 1) // tile_w), 0, n_tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(((mean2d[:, 1] + radius + tile_h - 1) // tile_h), 0, n_tiles_y).astype(jnp.int32)
-    # Negative-coordinate floor: jnp int cast truncates toward 0; use floor.
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_w), 0, n_tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_h), 0, n_tiles_y).astype(jnp.int32)
+    Gaussian's radius. CUDA getRect parity (BLOCK → our tile_h/tile_w).
+    floor() handles negative coordinates (int cast truncates toward 0)."""
+    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_w),
+                  0, n_tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_h),
+                  0, n_tiles_y).astype(jnp.int32)
+    x1 = jnp.clip((mean2d[:, 0] + radius + tile_w - 1) // tile_w,
+                  0, n_tiles_x).astype(jnp.int32)
+    y1 = jnp.clip((mean2d[:, 1] + radius + tile_h - 1) // tile_h,
+                  0, n_tiles_y).astype(jnp.int32)
     return x0, y0, x1, y1
+
+
+def _expand(values: jnp.ndarray, offsets: jnp.ndarray, m: int) -> jnp.ndarray:
+    """values[gidx[e]] for the monotone entry→gaussian map implied by
+    ``offsets`` — computed as diff-scatter + cumsum (no gather). int32 only;
+    exact under wraparound. Entries past the last start keep the final
+    value; callers mask invalid tails."""
+    dv = jnp.concatenate([values[:1], values[1:] - values[:-1]])
+    buf = jnp.zeros((m,), jnp.int32).at[offsets].add(
+        dv, mode="drop", indices_are_sorted=True)
+    return jnp.cumsum(buf)
 
 
 def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
@@ -63,56 +94,68 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     n_tiles_y = -(-image_height // tile_h)
     n_tiles = n_tiles_x * n_tiles_y
 
-    x0, y0, x1, y1 = tile_rect(mean2d, radius, n_tiles_x, n_tiles_y, tile_h, tile_w)
+    x0, y0, x1, y1 = tile_rect(mean2d, radius, n_tiles_x, n_tiles_y,
+                               tile_h, tile_w)
     rect_w = jnp.maximum(x1 - x0, 0)
     rect_h = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(radius > 0, rect_w * rect_h, 0).astype(jnp.int32)  # (N,)
+    counts = jnp.where(radius > 0, rect_w * rect_h, 0).astype(jnp.int32)
 
-    offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)  # exclusive
     total = offsets[-1] + counts[-1]
     overflow = jnp.maximum(total - m_cap, 0)
 
-    # Expand: entry e belongs to gaussian gidx[e]; k = rank of e within its
-    # gaussian's rect (row-major over the rect).
-    gidx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
-                      total_repeat_length=m_cap)   # (M,) pads with last value
+    # --- expansion (gather-free; see module docstring) ---
+    gidx = _expand(jnp.arange(n, dtype=jnp.int32), offsets, m_cap)
+    off_e = _expand(offsets, offsets, m_cap)
+    base_e = _expand(y0 * n_tiles_x + x0, offsets, m_cap)
+    w_e = _expand(jnp.maximum(rect_w, 1), offsets, m_cap)
+    # positive f32 ordering == int32 bit-pattern ordering (depth > znear > 0)
+    dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+    dkey_e = _expand(dbits, offsets, m_cap)
+
     e_idx = jnp.arange(m_cap, dtype=jnp.int32)
     valid = e_idx < total
-    k = e_idx - offsets[gidx]
-    w = jnp.maximum(rect_w[gidx], 1)
-    ty = y0[gidx] + k // w
-    tx = x0[gidx] + k % w
-    tile = ty * n_tiles_x + tx
-    tile = jnp.where(valid, tile, n_tiles)         # sentinel sorts last
-    entry_depth = jnp.where(valid, depth[gidx], jnp.inf)
-    gidx = jnp.where(valid, gidx, n)               # sentinel gaussian
+    k = e_idx - off_e                                  # rank inside the rect
+    tile = base_e + (k // w_e) * n_tiles_x + k % w_e
+    tile = jnp.where(valid, tile, n_tiles)
+    dkey = jnp.where(valid, dkey_e, jnp.iinfo(jnp.int32).max)
+    gidx = jnp.where(valid, gidx, n)                   # sentinel gaussian
 
-    tile_sorted, _, gidx_sorted = jax.lax.sort(
-        (tile, entry_depth, gidx), num_keys=2)
+    # --- per-tile histogram: 4-corner summed-area scatter (N-sized) ---
+    one = (counts > 0).astype(jnp.int32)
+    grid = jnp.zeros((n_tiles_y + 1, n_tiles_x + 1), jnp.int32)
+    grid = grid.at[y0, x0].add(one, mode="drop")
+    grid = grid.at[y0, x1].add(-one, mode="drop")
+    grid = grid.at[y1, x0].add(-one, mode="drop")
+    grid = grid.at[y1, x1].add(one, mode="drop")
+    tile_count = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
+        :n_tiles_y, :n_tiles_x].reshape(-1)
+    # With overflow, truncation invalidates the histogram; clamp so ranges
+    # stay memory-safe (content of such frames is garbage by contract).
+    tile_count = jnp.minimum(tile_count, m_cap)
+    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
-    tile_count = tile_end - tile_start
+    tile_s, _, gidx_s = jax.lax.sort((tile, dkey, gidx), num_keys=2)
 
     if align > 1:
         padded_count = -(-tile_count // align) * align
         ends = jnp.cumsum(padded_count).astype(jnp.int32)
-        padded_start = ends - padded_count
+        padded_start = (ends - padded_count).astype(jnp.int32)
         m_out = m_cap + align * n_tiles
-        nn = jnp.arange(m_out, dtype=jnp.int32)
-        t_of = jnp.searchsorted(ends, nn, side="right").astype(jnp.int32)
-        t_c = jnp.minimum(t_of, n_tiles - 1)
-        rank = nn - padded_start[t_c]
-        src = tile_start[t_c] + rank
-        valid2 = (t_of < n_tiles) & (rank < tile_count[t_c])
-        src = jnp.clip(src, 0, m_cap - 1)
-        gidx_aligned = jnp.where(valid2, gidx_sorted[src], n)
-        tile_aligned = jnp.where(valid2, t_c, n_tiles)
-        return Binning(gidx_sorted=gidx_aligned, tile_sorted=tile_aligned,
+        # dest[p] = p + shift[tile of p]; the per-entry shift is expanded by
+        # the same diff-scatter + cumsum trick along the tile-sorted order.
+        shift = jnp.minimum(padded_start - tile_start, align * n_tiles)
+        shift_e = _expand(shift, tile_start, m_cap)
+        dest = e_idx + shift_e                         # sentinels land past
+        gidx_aligned = jnp.full((m_out,), n, jnp.int32).at[dest].set(
+            gidx_s, mode="drop", unique_indices=True)
+        # memory-safety clamp for overflow frames (see docstring)
+        padded_start = jnp.minimum(padded_start, m_out - align)
+        tile_count = jnp.minimum(tile_count, m_out - padded_start)
+        return Binning(gidx_sorted=gidx_aligned, tile_sorted=None,
                        tile_start=padded_start, tile_count=tile_count,
                        num_pairs=total, overflow=overflow)
 
-    return Binning(gidx_sorted=gidx_sorted, tile_sorted=tile_sorted,
+    return Binning(gidx_sorted=gidx_s, tile_sorted=tile_s,
                    tile_start=tile_start, tile_count=tile_count,
                    num_pairs=total, overflow=overflow)

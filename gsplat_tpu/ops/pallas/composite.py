@@ -4,28 +4,30 @@ TPU-native re-design of the reference CUDA *render* kernel pair
 (diff-gaussian-rasterization forward.cu/backward.cu, reconstructed in
 SURVEY.md §2.2). Layout decisions, driven by TPU hardware:
 
-- One grid step = one pixel tile (tile_h×tile_w, default 16×128). Per-pixel
-  state lives in VMEM as (P, ·) arrays with **pixels on sublanes** and
-  **gaussians on lanes**: the hot (P, G) working set with G = 128 makes
-  every elementwise pass a dense VPU op and every scan a full-width MXU op.
-- Gaussians stream through VMEM in depth-ordered chunks of G, DMA'd from the
-  globally sorted entry list stored **transposed** (16, M) in HBM, so each
-  chunk fetch is a (16, 128)-shaped, 128-lane-aligned copy. Tile entry
-  ranges are pre-aligned to G (ops/binning.py align=chunk): chunk DMAs never
-  straddle tiles and gradient writes are collision-free by construction.
+- The grid iterates over **entry chunks** (G=128 gaussians each), not tiles:
+  chunk i streams block i of the depth-sorted entry list (stored transposed
+  (16, M) in HBM, so each block is a (16, 128)-shaped, lane-aligned copy)
+  through Mosaic's automatic input pipeline — double-buffered DMA with zero
+  manual semaphore code. A scalar-prefetched table maps chunk → tile; the
+  per-tile output blocks (accumulated color, transmittance, last
+  contributor) use that table in their index_map, so a tile's state stays
+  resident in VMEM across its consecutive chunks and is written back once.
+- Per-chunk working set is (P, G) with **pixels on sublanes** and
+  **gaussians on lanes** (P = tile pixels, G = 128 lanes): every elementwise
+  pass is a dense VPU op and the transmittance scan is one MXU op.
 - Front-to-back transmittance inside a chunk is computed in log space with a
-  (P,G)×(G,G) upper-triangular matmul — the vector-parallel equivalent of
-  CUDA's sequential per-thread ``T *= (1-alpha)`` loop.
-- Per-pixel early termination (T·(1−α) < 1e-4, checked *before* committing a
-  contribution) and the 1/255 alpha floor replicate the CUDA semantics via
-  masks; the per-pixel last-contributor index is saved for the backward.
-- Loop-carried tile state (accumulated color, transmittance, done mask,
-  last-contributor) lives in VMEM scratch; the while-loop carry is scalars
-  only (Mosaic cannot yield vectors from scf loops).
+  single (P,G)×(G,G) upper-triangular matmul — the vector-parallel
+  equivalent of CUDA's sequential per-thread ``T *= (1-alpha)`` loop. The
+  early-termination cut (T·(1−α) < 1e-4 checked *before* committing, CUDA
+  parity) reduces to a per-pixel min over crossing lanes — no second matmul.
+- Per-tile ranges are pre-aligned to G (ops/binning.py align=chunk): chunk
+  blocks never straddle tiles and backward gradient writes are
+  collision-free by construction.
 - Backward re-walks the chunks front-to-back (recompute strategy, like the
   CUDA backward) using the saved final transmittance + last-contributor
-  index; per-entry gradients land in a disjoint (16, M) buffer and the
-  XLA-level gather transpose accumulates them onto the N Gaussians.
+  index; per-entry gradients stream out through the same block pipeline
+  (every block is written — no uninitialized rows) and the XLA-level gather
+  transpose accumulates them onto the N Gaussians.
 
 Entry row layout (matches ops/rasterize.pack_entries, transposed here):
   row 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6..8 rgb,
@@ -77,77 +79,92 @@ def _alpha_terms(data, px, py):
     return dx, dy, power, alpha_raw
 
 
+def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
+                 n_chunks: int):
+    """Per-chunk (tile, rank0, count) scalar-prefetch tables from the
+    aligned per-tile ranges, via diff-scatter + cumsum (no gathers —
+    TPU-measured: M-sized gathers cost ~70 ms, cumsums ~5 ms)."""
+    from gsplat_tpu.ops.binning import _expand
+
+    start_chunk = tile_start // chunk                       # (T,)
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    ct = _expand(tids, start_chunk, n_chunks)               # chunk → tile
+    first = _expand(start_chunk, start_chunk, n_chunks)
+    ci = jnp.arange(n_chunks, dtype=jnp.int32)
+    rank0 = (ci - first) * chunk                            # chunk → rank0
+    cc = _expand(tile_count, start_chunk, n_chunks)
+    # tail chunks past the last real range → sentinel tile n_tiles
+    used = -(-tile_count // chunk) * chunk
+    total_chunks = (jnp.sum(used) // chunk).astype(jnp.int32)
+    is_tail = ci >= total_chunks
+    ct = jnp.where(is_tail, n_tiles, ct)
+    cc = jnp.where(is_tail, 0, cc)
+    return ct.astype(jnp.int32), rank0.astype(jnp.int32), cc.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(start_ref, count_ref, entries_ref,
+def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, entries_ref,
                 accum_ref, tfinal_ref, nc_ref,
-                chunk_vmem, st_t, st_done, dma_sem, *,
+                st_t, st_done, *,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
                 alpha_min: float, alpha_max: float, t_eps: float):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    count = count_ref[t]
-    n_chunks = pl.cdiv(count, G)
-    px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
-    u_strict = _tri_upper(G, strict=True)
-    u_incl = _tri_upper(G, strict=False)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    i = pl.program_id(0)
+    t = ct_ref[i]
+    rank0 = rank0_ref[i]
+    count = cnt_ref[i]
 
-    # Tile state lives in VMEM (output blocks + scratch); the loop carries
-    # only scalars.
-    accum_ref[0] = jnp.zeros((P, 4), jnp.float32)
-    nc_ref[0] = jnp.zeros((P, 1), jnp.int32)
-    st_t[:] = jnp.ones((P, 1), jnp.float32)
-    st_done[:] = jnp.zeros((P, 1), jnp.float32)
+    @pl.when(rank0 == 0)
+    def _init():
+        accum_ref[0] = jnp.zeros((P, 4), jnp.float32)
+        tfinal_ref[0] = jnp.ones((P, 1), jnp.float32)
+        nc_ref[0] = jnp.zeros((P, 1), jnp.int32)
+        st_t[:] = jnp.ones((P, 1), jnp.float32)
+        st_done[:] = jnp.zeros((P, 1), jnp.float32)
 
-    def body(state):
-        i, _ = state
-        off = pl.multiple_of(start + i * G, G)
-        cp = pltpu.make_async_copy(
-            entries_ref.at[:, pl.ds(off, G)], chunk_vmem, dma_sem)
-        cp.start()
-        cp.wait()
-        data = chunk_vmem[:]                                  # (16,G)
+    live = jnp.logical_and(rank0 < count, st_done[0, 0] < 2.0)
+
+    @pl.when(live)
+    def _step():
+        px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+        data = entries_ref[:]                                 # (16,G)
         tcur = st_t[:]                                        # (P,1)
         done = st_done[:] > 0.0                               # (P,1)
         _, _, power, alpha_raw = _alpha_terms(data, px, py)
         alpha = jnp.minimum(alpha_raw, alpha_max)
-        valid = (i * G + lane) < count                        # (1,G)
+        valid = (rank0 + lane) < count                        # (1,G)
         a1 = jnp.where(valid & (alpha >= alpha_min) & (power <= 0.0),
                        alpha, 0.0)                            # (P,G)
         lg = jnp.log1p(-a1)
         t_excl = tcur * jnp.exp(
-            jnp.dot(lg, u_strict, preferred_element_type=jnp.float32))
+            jnp.dot(lg, _tri_upper(G, strict=True),
+                    preferred_element_type=jnp.float32))
+        # early-termination cut: contributions stop AT the first lane where
+        # the post-commit transmittance would cross t_eps (CUDA parity)
         cross = (a1 > 0.0) & (t_excl * (1.0 - a1) < t_eps)
-        crossed = jnp.dot(cross.astype(jnp.float32), u_incl,
-                          preferred_element_type=jnp.float32)
-        done_incl = done | (crossed > 0.0)
-        contrib = (a1 > 0.0) & jnp.logical_not(done_incl)
-        a2 = jnp.where(contrib, a1, 0.0)
-        lg2 = jnp.log1p(-a2)
-        t_excl2 = tcur * jnp.exp(
-            jnp.dot(lg2, u_strict, preferred_element_type=jnp.float32))
-        w = t_excl2 * a2                                      # (P,G)
+        first_cross = jnp.min(jnp.where(cross, lane, G), axis=1,
+                              keepdims=True)                  # (P,1)
+        contrib = (a1 > 0.0) & (lane < first_cross) & jnp.logical_not(done)
+        w = jnp.where(contrib, t_excl * a1, 0.0)              # (P,G)
         col = data[6:10, :]                                   # (4,G)
         accum_ref[0] += jax.lax.dot_general(
             w, col, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # (P,4)
+        lg2 = jnp.where(contrib, lg, 0.0)
         st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=1, keepdims=True))
         new_done = done | jnp.any(cross, axis=1, keepdims=True)
         st_done[:] = new_done.astype(jnp.float32)
-        rank1 = i * G + lane + 1                              # (1,G)
+        rank1 = rank0 + lane + 1                              # (1,G)
         nc_ref[0] = jnp.maximum(
             nc_ref[0], jnp.max(jnp.where(contrib, rank1, 0), axis=1,
                                keepdims=True))
-        all_done = jnp.int32(jnp.all(new_done))
-        return i + 1, all_done
-
-    def cond(state):
-        i, all_done = state
-        return (i < n_chunks) & (all_done == 0)
-
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
-    tfinal_ref[0] = st_t[:]
+        tfinal_ref[0] = st_t[:]
+        # whole-tile early out: flag 2.0 skips remaining chunks' compute
+        # (done pixels read st_done > 0, so 2.0 keeps per-pixel semantics)
+        @pl.when(jnp.all(new_done))
+        def _():
+            st_done[:] = jnp.full((P, 1), 2.0)
 
 
 def _composite_fwd_call(entries_t, tile_start, tile_count, *, n_tiles_x,
@@ -158,99 +175,111 @@ def _composite_fwd_call(entries_t, tile_start, tile_count, *, n_tiles_x,
     T = n_tiles_x * n_tiles_y
     P = tile_h * tile_w
     G = chunk
+    M = entries_t.shape[1]
+    n_chunks = M // G
+
+    ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
+                                  chunk=G, n_chunks=n_chunks)
 
     kernel = functools.partial(
         _fwd_kernel, G=G, P=P, n_tiles_x=n_tiles_x, tile_h=tile_h,
         tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((16, G), lambda i, ct, r0, cn: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(
-            pl.BlockSpec((1, P, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, 4), lambda i, ct, r0, cn: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, G), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
         ],
     )
     accum, t_final, nc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, P, 4), jnp.float32),
-            jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T, P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((T + 1, P, 4), jnp.float32),
+            jax.ShapeDtypeStruct((T + 1, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T + 1, P, 1), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(tile_start, tile_count, entries_t)
+    )(ct, rank0, cnt, entries_t)
+    # empty tiles are never visited by any chunk — their rows are
+    # uninitialized; mask them to the empty-tile state.
+    empty = (tile_count == 0)
+    emptyp = jnp.concatenate([empty, jnp.ones((1,), bool)])[:, None, None]
+    accum = jnp.where(emptyp, 0.0, accum)[:T]
+    t_final = jnp.where(emptyp, 1.0, t_final)[:T]
+    nc = jnp.where(emptyp, 0, nc)[:T]
     return accum, t_final, nc
 
 
 # ---------------------------------------------------------------- backward
 
-def _bwd_kernel(start_ref, count_ref, entries_ref, g_accum_ref, g_t_ref,
-                accum_ref, tfinal_ref, nc_ref,
+def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, entries_ref, g_accum_ref,
+                g_t_ref, accum_ref, tfinal_ref, nc_ref,
                 d_entries_ref,
-                chunk_in, chunk_out, st_t, st_cumu, sem_in, sem_out, *,
+                st_t, st_cumu, *,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
                 alpha_min: float, alpha_max: float, t_eps: float):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    count = count_ref[t]
-    n_chunks = pl.cdiv(count, G)
-    px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
-    u_strict = _tri_upper(G, strict=True)
-    u_incl = _tri_upper(G, strict=False)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    i = pl.program_id(0)
+    t = ct_ref[i]
+    rank0 = rank0_ref[i]
+    count = cnt_ref[i]
 
-    g_acc = g_accum_ref[0]                                    # (P,4)
-    acc = accum_ref[0]                                        # (P,4)
-    g_t = g_t_ref[0]                                          # (P,1)
-    t_n = tfinal_ref[0]                                       # (P,1)
-    nc = nc_ref[0]                                            # (P,1) int32
-    # P0 = g·accum_total; bg blending happens outside via the t_final
-    # cotangent, so no bg term appears here.
-    p0 = jnp.sum(g_acc * acc, axis=1, keepdims=True)          # (P,1)
-    gt_tn = g_t * t_n                                         # (P,1)
+    @pl.when(rank0 == 0)
+    def _init():
+        st_t[:] = jnp.ones((P, 1), jnp.float32)
+        st_cumu[:] = jnp.zeros((P, 1), jnp.float32)
 
-    st_t[:] = jnp.ones((P, 1), jnp.float32)
-    st_cumu[:] = jnp.zeros((P, 1), jnp.float32)
+    d_entries_ref[:] = jnp.zeros((16, G), jnp.float32)
 
-    def body(i, _):
-        off = pl.multiple_of(start + i * G, G)
-        cp = pltpu.make_async_copy(
-            entries_ref.at[:, pl.ds(off, G)], chunk_in, sem_in)
-        cp.start()
-        cp.wait()
-        data = chunk_in[:]                                    # (16,G)
+    @pl.when(rank0 < count)
+    def _step():
+        px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+        data = entries_ref[:]                                 # (16,G)
+        g_acc = g_accum_ref[0]                                # (P,4)
+        acc = accum_ref[0]                                    # (P,4)
+        g_t = g_t_ref[0]                                      # (P,1)
+        t_n = tfinal_ref[0]                                   # (P,1)
+        nc = nc_ref[0]                                        # (P,1) int32
+        # P0 = g·accum_total; bg blending happens outside via the t_final
+        # cotangent, so no bg term appears here.
+        p0 = jnp.sum(g_acc * acc, axis=1, keepdims=True)      # (P,1)
+        gt_tn = g_t * t_n                                     # (P,1)
+
         tcur = st_t[:]
         cum_u = st_cumu[:]
         dx, dy, power, alpha_raw = _alpha_terms(data, px, py)
         alpha = jnp.minimum(alpha_raw, alpha_max)
-        rank = i * G + lane                                   # (1,G)
+        rank = rank0 + lane                                   # (1,G)
         keep = ((rank < count) & (alpha >= alpha_min) & (power <= 0.0)
                 & (rank < nc))                                # (P,G)
         a2 = jnp.where(keep, alpha, 0.0)
         lg2 = jnp.log1p(-a2)
         t_excl = tcur * jnp.exp(
-            jnp.dot(lg2, u_strict, preferred_element_type=jnp.float32))
+            jnp.dot(lg2, _tri_upper(G, strict=True),
+                    preferred_element_type=jnp.float32))
         w = t_excl * a2                                       # (P,G)
         col = data[6:10, :]                                   # (4,G)
         gc = jax.lax.dot_general(g_acc, col, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (P,G)
         u = w * gc
-        cum_incl = cum_u + jnp.dot(u, u_incl,
+        cum_incl = cum_u + jnp.dot(u, _tri_upper(G, strict=False),
                                    preferred_element_type=jnp.float32)
         s_term = (p0 - cum_incl) + gt_tn                      # (P,G)
         one_m = jnp.where(keep, 1.0 - a2, 1.0)
@@ -270,19 +299,11 @@ def _bwd_kernel(start_ref, count_ref, entries_ref, g_accum_ref, g_t_ref,
         ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
         d_mx = jnp.sum(dl_dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
         d_my = jnp.sum(dl_dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
-        d_chunk = jnp.concatenate(
+        d_entries_ref[:] = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col,
              jnp.zeros((6, G), jnp.float32)], axis=0)         # (16,G)
-        chunk_out[:] = d_chunk
-        cpo = pltpu.make_async_copy(
-            chunk_out, d_entries_ref.at[:, pl.ds(off, G)], sem_out)
-        cpo.start()
-        cpo.wait()
         st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=1, keepdims=True))
         st_cumu[:] = cum_u + jnp.sum(u, axis=1, keepdims=True)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
@@ -293,35 +314,41 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
     P = tile_h * tile_w
     G = chunk
     M = entries_t.shape[1]
+    n_chunks = M // G
+
+    ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
+                                  chunk=G, n_chunks=n_chunks)
+    # sentinel tile T must address a valid input row
+    pad = lambda x, v: jnp.concatenate(
+        [x, jnp.full((1,) + x.shape[1:], v, x.dtype)])
 
     kernel = functools.partial(
         _bwd_kernel, G=G, P=P, n_tiles_x=n_tiles_x, tile_h=tile_h,
         tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps)
 
+    tile_block = lambda i, ct, r0, cn: (ct[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),              # entries_t
-            pl.BlockSpec((1, P, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((16, G), lambda i, ct, r0, cn: (0, i),
+                         memory_space=pltpu.VMEM),             # entries
+            pl.BlockSpec((1, P, 4), tile_block,
                          memory_space=pltpu.VMEM),             # g_accum
-            pl.BlockSpec((1, P, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, 1), tile_block,
                          memory_space=pltpu.VMEM),             # g_t
-            pl.BlockSpec((1, P, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, 4), tile_block,
                          memory_space=pltpu.VMEM),             # accum
-            pl.BlockSpec((1, P, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, 1), tile_block,
                          memory_space=pltpu.VMEM),             # t_final
-            pl.BlockSpec((1, P, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, 1), tile_block,
                          memory_space=pltpu.VMEM),             # n_contrib
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),        # d_entries_t
+        out_specs=pl.BlockSpec((16, G), lambda i, ct, r0, cn: (0, i),
+                               memory_space=pltpu.VMEM),       # d_entries
         scratch_shapes=[
-            pltpu.VMEM((16, G), jnp.float32),
-            pltpu.VMEM((16, G), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
         ],
     )
     d_entries_t = pl.pallas_call(
@@ -329,11 +356,10 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((16, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(tile_start, tile_count, entries_t, g_accum, g_t, accum, t_final, nc)
+    )(ct, rank0, cnt, entries_t, pad(g_accum, 0.0), pad(g_t, 0.0),
+      pad(accum, 0.0), pad(t_final, 1.0), pad(nc, 0))
     return d_entries_t
 
 
@@ -369,8 +395,8 @@ def _composite_bwd(static, res, cot):
     entries_t, tile_start, tile_count, accum, t_final, nc = res
     g_accum, g_t, _ = cot     # n_contrib is int-valued aux: no cotangent
     d_entries_t = _composite_bwd_call(
-        entries_t, tile_start, tile_count, accum, t_final, nc, g_accum, g_t,
-        **static._asdict())
+        entries_t, tile_start, tile_count, accum, t_final, nc, g_accum,
+        g_t, **static._asdict())
     return d_entries_t, None, None
 
 

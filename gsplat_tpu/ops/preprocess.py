@@ -62,20 +62,27 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
     W, H = image_width, image_height
     fx = W / (2.0 * cam.tanfovx)
     fy = H / (2.0 * cam.tanfovy)
-    # All matmuls below run at HIGHEST precision: TPU defaults them to bf16,
-    # which costs ~0.4% relative error on screen positions / covariances —
-    # visible blur and (via cancellation) NaN hazards. These are K∈{3,4}
-    # contractions; full f32 is free next to compositing.
+    # The tiny per-Gaussian matrix products below are written as explicit
+    # component arithmetic on (N,) columns rather than batched (N,k,k)
+    # matmuls: TPU would otherwise run them on the MXU at bf16 (a ~0.4%
+    # screen-position error that visibly slows convergence and, via
+    # cancellation, NaN hazards) and with massive lane padding (measured
+    # ~20 ms at N=200k). Component form is exact f32 on the VPU and fuses.
     HI = jax.lax.Precision.HIGHEST
 
+    def apply44(Mat, v3):
+        """rows of (x,y,z,1) @ Matᵀ for a constant 4x4: list of 4 (N,)."""
+        x, y, z = v3[:, 0], v3[:, 1], v3[:, 2]
+        return [Mat[i, 0] * x + Mat[i, 1] * y + Mat[i, 2] * z + Mat[i, 3]
+                for i in range(4)]
+
     # --- projection ---
-    ones = jnp.ones_like(xyz[:, :1])
-    xyz_h = jnp.concatenate([xyz, ones], axis=-1)            # (N,4)
-    p_hom = jnp.matmul(xyz_h, cam.full_proj.T, precision=HI)  # (N,4)
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
-    p_view = jnp.matmul(xyz_h, cam.world_view.T, precision=HI)  # (N,4)
-    depth = p_view[:, 2]
+    ph = apply44(cam.full_proj, xyz)                         # 4 × (N,)
+    p_w = 1.0 / (ph[3] + 1e-7)
+    p_proj = jnp.stack([ph[0] * p_w, ph[1] * p_w, ph[2] * p_w], axis=-1)
+    pv = apply44(cam.world_view, xyz)                        # 4 × (N,)
+    p_view = jnp.stack(pv, axis=-1)
+    depth = pv[2]
 
     mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W),
                         ndc2pix(p_proj[:, 1], H)], axis=-1)
@@ -86,7 +93,8 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
             scaling, scaling_modifier, rotation)             # (N,6)
     else:
         cov3d = cov3d_precomp
-    Vrk = transforms.cov6_to_mat(cov3d)                      # (N,3,3)
+    sxx, sxy, sxz = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    syy, syz, szz = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
 
     tz = depth
     safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
@@ -97,19 +105,27 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
     tx = txtz * tz
     ty = tytz * tz
 
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([fx / safe_tz, zero, -fx * tx / (safe_tz * safe_tz)], -1),
-        jnp.stack([zero, fy / safe_tz, -fy * ty / (safe_tz * safe_tz)], -1),
-    ], axis=-2)                                              # (N,2,3)
-    Wv = cam.world_view[:3, :3]                              # (3,3)
-    M = jnp.matmul(J, Wv, precision=HI)                      # (N,2,3)
-    cov2d = jnp.matmul(jnp.matmul(M, Vrk, precision=HI),
-                       jnp.swapaxes(M, -1, -2), precision=HI)  # (N,2,2)
+    # M = J @ W, rows m0/m1 as (N,3) component columns:
+    #   J = [[fx/tz, 0, -fx·tx/tz²], [0, fy/tz, -fy·ty/tz²]]
+    inv_tz = 1.0 / safe_tz
+    a0 = fx * inv_tz
+    a2x = -fx * tx * inv_tz * inv_tz
+    b1 = fy * inv_tz
+    b2y = -fy * ty * inv_tz * inv_tz
+    Wv = cam.world_view[:3, :3]                              # (3,3) const
+    m0 = [a0 * Wv[0, k] + a2x * Wv[2, k] for k in range(3)]
+    m1 = [b1 * Wv[1, k] + b2y * Wv[2, k] for k in range(3)]
 
-    c00 = cov2d[:, 0, 0]
-    c01 = cov2d[:, 0, 1]
-    c11 = cov2d[:, 1, 1]
+    def sigma_dot(m):  # Σ @ m for symmetric-6 Σ, m = 3 × (N,)
+        return (sxx * m[0] + sxy * m[1] + sxz * m[2],
+                sxy * m[0] + syy * m[1] + syz * m[2],
+                sxz * m[0] + syz * m[1] + szz * m[2])
+
+    s0 = sigma_dot(m0)
+    s1 = sigma_dot(m1)
+    c00 = m0[0] * s0[0] + m0[1] * s0[1] + m0[2] * s0[2]
+    c01 = m0[0] * s1[0] + m0[1] * s1[1] + m0[2] * s1[2]
+    c11 = m1[0] * s1[0] + m1[1] * s1[1] + m1[2] * s1[2]
     det_orig = c00 * c11 - c01 * c01
     c00 = c00 + dilation
     c11 = c11 + dilation

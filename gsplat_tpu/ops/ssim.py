@@ -32,29 +32,33 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
 
 
 def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """Separable depthwise 2D Gaussian blur with same-padding.
-    x: (..., C, H, W)."""
-    w = jnp.asarray(_gaussian_window(window_size, sigma), jnp.float32)
+    """Separable depthwise 2D Gaussian blur with same-(zero-)padding.
+    x: (..., C, H, W).
+
+    Implemented as shifted weighted adds rather than conv: TPU lowers f32
+    convs either to bf16 (whose error makes the downstream variance
+    blur(x²) − mu² go below −C2 and flips the SSIM denominator sign → ±inf
+    loss, observed on-chip) or, at HIGHEST precision, to a slow multi-pass
+    form (~60 ms fwd+bwd at 1080p). Eleven shifted VPU adds per axis are
+    exact f32 and fuse.
+    """
+    w = _gaussian_window(window_size, sigma)
     pad = window_size // 2
-    batch_shape = x.shape[:-2]
     H, W = x.shape[-2:]
-    xf = x.reshape((-1, 1, H, W))
-    kh = w.reshape(1, 1, window_size, 1)
-    kw = w.reshape(1, 1, 1, window_size)
-    # precision=HIGHEST: TPU convs default to bf16, and the downstream
-    # variance blur(x²) − mu² cancels catastrophically — bf16 error (~2e-3)
-    # can push σ1²+σ2² below −c2, flipping the SSIM denominator's sign and
-    # producing ±inf loss (observed on-chip; the 11-tap depthwise convs are
-    # bandwidth-bound, so full f32 costs nothing).
-    y = jax.lax.conv_general_dilated(
-        xf, kh, (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)
-    y = jax.lax.conv_general_dilated(
-        y, kw, (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)
-    return y.reshape(batch_shape + (H, W))
+
+    def blur_axis(v, axis, size):
+        widths = [(0, 0)] * v.ndim
+        widths[axis] = (pad, pad)
+        vp = jnp.pad(v, widths)
+        acc = None
+        for i in range(window_size):
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(i, i + size)
+            term = w[i] * vp[tuple(sl)]
+            acc = term if acc is None else acc + term
+        return acc
+
+    return blur_axis(blur_axis(x, x.ndim - 2, H), x.ndim - 1, W)
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
