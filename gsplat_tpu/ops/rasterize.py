@@ -59,6 +59,43 @@ def pack_entries(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
     return jnp.concatenate([cols, jnp.zeros((1, 16), cols.dtype)], axis=0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gather_entries(packed, gidx, inv_src, g_offsets, g_counts, m_cap):
+    """entries = packed[gidx], with an efficient hand-written backward.
+
+    The plain gather's VJP is a duplicate-index random scatter-add over the
+    multi-million entry list (~127 ms measured at 1080p; TPU random scatters
+    are ~7x slower than random gathers). Because binning knows the
+    presort→aligned permutation (``inv_src``) and entries of one gaussian
+    are contiguous presort, the backward is instead: gather d back into
+    presort order, one cumsum, and a per-gaussian difference of boundary
+    prefix sums."""
+    return packed[gidx]
+
+
+def _gather_entries_fwd(packed, gidx, inv_src, g_offsets, g_counts, m_cap):
+    return packed[gidx], (inv_src, g_offsets, g_counts, packed.shape[0])
+
+
+def _gather_entries_bwd(m_cap, res, d_aligned):
+    inv_src, g_offsets, g_counts, n_rows = res
+    width = d_aligned.shape[1]
+    d_presort = d_aligned[inv_src]                      # (m_cap, width)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, width), d_aligned.dtype),
+         jnp.cumsum(d_presort, axis=0)], axis=0)
+    lo = jnp.clip(g_offsets, 0, m_cap)
+    hi = jnp.clip(g_offsets + g_counts, 0, m_cap)
+    d_rows = cs[hi] - cs[lo]                            # (N, width)
+    d_packed = jnp.concatenate(
+        [d_rows, jnp.zeros((n_rows - d_rows.shape[0], width),
+                           d_aligned.dtype)], axis=0)
+    return d_packed, None, None, None, None
+
+
+_gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
+
+
 def _tiles_to_image(tiles: jnp.ndarray, n_tiles_y: int, n_tiles_x: int,
                     tile_h: int, tile_w: int, H: int, W: int) -> jnp.ndarray:
     """(T, C, P) tile-flat → (C, H, W) cropped image."""
@@ -120,7 +157,11 @@ def render(gaussians: GaussianParams,
         align=cfg.chunk)
 
     packed = pack_entries(pre)                       # (N+1, 16)
-    entries = packed[b.gidx_sorted]                  # (M, 16) — diff gather
+    if b.inv_src is not None:
+        entries = _gather_entries(packed, b.gidx_sorted, b.inv_src,
+                                  b.g_offsets, b.g_counts, m_cap)
+    else:
+        entries = packed[b.gidx_sorted]              # (M, 16) — diff gather
 
     if cfg.use_pallas:
         from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
