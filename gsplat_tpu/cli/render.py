@@ -57,7 +57,7 @@ def main(argv=None):
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--quiet", action="store_true")
-    args = cfg_lib.get_combined_args(parser)
+    args = cfg_lib.get_combined_args(parser, argv)
     print("Rendering " + args.model_path)
 
     dataset = cfg_lib.extract(cfg_lib.ModelConfig, args)

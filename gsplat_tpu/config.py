@@ -100,7 +100,9 @@ class RasterizerConfig:
     alpha_max: float = 0.99           # alpha clamp          [CUDA parity]
     transmittance_eps: float = 1e-4   # early-out threshold  [CUDA parity]
     dilation: float = 0.3             # screen-space cov dilation (px^2)
-    use_pallas: bool = True           # False → pure-XLA oracle compositor
+    # "auto" → Pallas kernels on TPU, pure-XLA oracle elsewhere; library
+    # callers may also pass plain bools ("on"/"off" from the CLI)
+    use_pallas: str = "auto"
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type, prefix=""):
@@ -163,14 +165,15 @@ def load_cfg(model_path: str) -> dict:
     return out
 
 
-def get_combined_args(parser: argparse.ArgumentParser) -> argparse.Namespace:
+def get_combined_args(parser: argparse.ArgumentParser,
+                      argv=None) -> argparse.Namespace:
     """Merge saved training config with CLI overrides.
 
     Parity: reference arguments/__init__.py:102-122 (get_combined_args), with
     JSON instead of eval().
     """
     import sys
-    args_cmdline = parser.parse_args(sys.argv[1:])
+    args_cmdline = parser.parse_args(sys.argv[1:] if argv is None else argv)
     merged = dict(vars(args_cmdline))
     path = os.path.join(args_cmdline.model_path or "", "cfg_args.json")
     if args_cmdline.model_path and os.path.exists(path):

@@ -163,7 +163,10 @@ def render(gaussians: GaussianParams,
     else:
         entries = packed[b.gidx_sorted]              # (M, 16) — diff gather
 
-    if cfg.use_pallas:
+    up = cfg.use_pallas
+    if isinstance(up, str):
+        up = (jax.default_backend() == "tpu") if up == "auto" else (up == "on")
+    if up:
         from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
         out = composite_tiles_pallas(
             entries, b.tile_start, b.tile_count,

@@ -1,0 +1,94 @@
+"""End-to-end CLI test: synthesize a tiny COLMAP scene on disk, then run the
+full user path train.py → render.py → metrics.py (the reference's only
+quality-control loop, SURVEY.md §4) and check the artifact contract:
+point_cloud PLY, cfg_args.json, renders/gt PNGs, results.json schema."""
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from gsplat_tpu.scene import colmap as colmap_lib
+
+
+def _make_colmap_scene(root, n_pts=120, n_cams=6, W=64, H=48, rng=None):
+    """Cameras on a ring looking at a small point cloud; images are flat
+    renders of nothing fancy — the test checks mechanics, not quality."""
+    from PIL import Image
+    rng = rng or np.random.default_rng(0)
+    sparse = os.path.join(root, "sparse", "0")
+    images_dir = os.path.join(root, "images")
+    os.makedirs(images_dir, exist_ok=True)
+
+    fx = fy = 60.0
+    cams = {1: colmap_lib.ColmapCamera(
+        1, "PINHOLE", W, H, np.array([fx, fy, W / 2, H / 2]))}
+
+    xyz = rng.standard_normal((n_pts, 3)) * 0.5
+    rgb = rng.integers(0, 255, (n_pts, 3)).astype(np.uint8)
+    pts = (np.arange(n_pts, dtype=np.int64), xyz, rgb, np.zeros(n_pts))
+
+    imgs = {}
+    for i in range(n_cams):
+        a = 2 * np.pi * i / n_cams
+        pos = np.array([3 * np.sin(a), 0.0, -3 * np.cos(a)])
+        fwd = -pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        upv = np.cross(fwd, right)
+        R_wc = np.stack([right, upv, fwd], axis=0)   # world→cam rows
+        t = -R_wc @ pos
+        q = colmap_lib.rotmat2qvec(R_wc)
+        name = f"im_{i:03d}.png"
+        imgs[i + 1] = colmap_lib.ColmapImage(
+            i + 1, q, t, 1, name,
+            xys=np.zeros((0, 2)), point3D_ids=np.zeros((0,), np.int64))
+        arr = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(images_dir, name))
+
+    colmap_lib.write_model(cams, imgs, pts, sparse, binary=True)
+    return root
+
+
+def test_train_render_metrics_pipeline(tmp_path, rng):
+    from gsplat_tpu.cli import train as train_cli
+    from gsplat_tpu.cli import render as render_cli
+    from gsplat_tpu.cli import metrics as metrics_cli
+
+    src = _make_colmap_scene(str(tmp_path / "scene"), rng=rng)
+    model = str(tmp_path / "model")
+    iters = 12
+
+    train_cli.main([
+        "--source_path", src, "--model_path", model, "--eval",
+        "--iterations", str(iters), "--sh_degree", "1",
+        "--test_iterations", str(iters), "--save_iterations", str(iters),
+        "--disable_viewer", "--quiet"])
+
+    # artifact contract (reference scene/__init__.py:51-63, train.py:203)
+    assert os.path.exists(os.path.join(model, "cfg_args.json"))
+    assert os.path.exists(os.path.join(model, "cameras.json"))
+    assert os.path.exists(os.path.join(model, "input.ply"))
+    ply = os.path.join(model, f"point_cloud/iteration_{iters}",
+                       "point_cloud.ply")
+    assert os.path.exists(ply)
+
+    render_cli.main(["--model_path", model, "--iteration", str(iters),
+                     "--quiet"])
+    renders = os.path.join(model, "test", f"ours_{iters}", "renders")
+    gts = os.path.join(model, "test", f"ours_{iters}", "gt")
+    assert len(os.listdir(renders)) == len(os.listdir(gts)) > 0
+
+    metrics_cli.main(["--model_paths", model])
+    with open(os.path.join(model, "results.json")) as f:
+        results = json.load(f)
+    method = f"ours_{iters}"
+    assert method in results
+    for key in ("SSIM", "PSNR", "LPIPS"):
+        assert key in results[method]
+    assert np.isfinite(results[method]["PSNR"])
+    with open(os.path.join(model, "per_view.json")) as f:
+        per_view = json.load(f)
+    assert len(per_view[method]["PSNR"]) == len(os.listdir(renders))

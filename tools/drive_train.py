@@ -48,7 +48,7 @@ def main():
     g_gt = gm.create_from_pcd(pts, colors, 0, capacity=n_gt)
     g_gt = dataclasses.replace(g_gt, opacity=g_gt.opacity.at[:].set(1.5))
 
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=32.0)
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=96.0)
     bg = jnp.zeros(3, jnp.float32)
     cams = [ring_camera(a) for a in np.linspace(0, 2 * math.pi, 12,
                                                 endpoint=False)]
