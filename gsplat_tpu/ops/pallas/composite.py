@@ -104,13 +104,13 @@ def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
 
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, entries_ref,
+def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
                 accum_ref, tfinal_ref, nc_ref,
                 st_t, st_done, *,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
                 alpha_min: float, alpha_max: float, t_eps: float):
     i = pl.program_id(0)
-    t = ct_ref[i]
+    t = ct_ref[i] + base_ref[0]   # global tile id (tile-sharded rendering)
     rank0 = rank0_ref[i]
     count = cnt_ref[i]
 
@@ -167,9 +167,9 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, entries_ref,
             st_done[:] = jnp.full((P, 1), 2.0)
 
 
-def _composite_fwd_call(entries_t, tile_start, tile_count, *, n_tiles_x,
-                        n_tiles_y, tile_h, tile_w, chunk, alpha_min,
-                        alpha_max, t_eps, interpret):
+def _composite_fwd_call(entries_t, tile_start, tile_count, tile_base, *,
+                        n_tiles_x, n_tiles_y, tile_h, tile_w, chunk,
+                        alpha_min, alpha_max, t_eps, interpret):
     """entries_t: (16, M) transposed packed entries, with per-tile ranges
     aligned to `chunk` (binning align=chunk)."""
     T = n_tiles_x * n_tiles_y
@@ -186,18 +186,18 @@ def _composite_fwd_call(entries_t, tile_start, tile_count, *, n_tiles_x,
         tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((16, G), lambda i, ct, r0, cn: (0, i),
+            pl.BlockSpec((16, G), lambda i, ct, r0, cn, tb: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, P, 4), lambda i, ct, r0, cn: (ct[i], 0, 0),
+            pl.BlockSpec((1, P, 4), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn: (ct[i], 0, 0),
+            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn: (ct[i], 0, 0),
+            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -216,7 +216,7 @@ def _composite_fwd_call(entries_t, tile_start, tile_count, *, n_tiles_x,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, entries_t)
+    )(ct, rank0, cnt, tile_base, entries_t)
     # empty tiles are never visited by any chunk — their rows are
     # uninitialized; mask them to the empty-tile state.
     empty = (tile_count == 0)
@@ -229,14 +229,14 @@ def _composite_fwd_call(entries_t, tile_start, tile_count, *, n_tiles_x,
 
 # ---------------------------------------------------------------- backward
 
-def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, entries_ref, g_accum_ref,
-                g_t_ref, accum_ref, tfinal_ref, nc_ref,
+def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
+                g_accum_ref, g_t_ref, accum_ref, tfinal_ref, nc_ref,
                 d_entries_ref,
                 st_t, st_cumu, *,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
                 alpha_min: float, alpha_max: float, t_eps: float):
     i = pl.program_id(0)
-    t = ct_ref[i]
+    t = ct_ref[i] + base_ref[0]   # global tile id (tile-sharded rendering)
     rank0 = rank0_ref[i]
     count = cnt_ref[i]
 
@@ -306,9 +306,9 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, entries_ref, g_accum_ref,
         st_cumu[:] = cum_u + jnp.sum(u, axis=1, keepdims=True)
 
 
-def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
-                        nc, g_accum, g_t, *, n_tiles_x, n_tiles_y, tile_h,
-                        tile_w, chunk, alpha_min, alpha_max, t_eps,
+def _composite_bwd_call(entries_t, tile_start, tile_count, tile_base, accum,
+                        t_final, nc, g_accum, g_t, *, n_tiles_x, n_tiles_y,
+                        tile_h, tile_w, chunk, alpha_min, alpha_max, t_eps,
                         interpret):
     T = n_tiles_x * n_tiles_y
     P = tile_h * tile_w
@@ -326,12 +326,12 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
         _bwd_kernel, G=G, P=P, n_tiles_x=n_tiles_x, tile_h=tile_h,
         tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps)
 
-    tile_block = lambda i, ct, r0, cn: (ct[i], 0, 0)
+    tile_block = lambda i, ct, r0, cn, tb: (ct[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((16, G), lambda i, ct, r0, cn: (0, i),
+            pl.BlockSpec((16, G), lambda i, ct, r0, cn, tb: (0, i),
                          memory_space=pltpu.VMEM),             # entries
             pl.BlockSpec((1, P, 4), tile_block,
                          memory_space=pltpu.VMEM),             # g_accum
@@ -344,7 +344,7 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
             pl.BlockSpec((1, P, 1), tile_block,
                          memory_space=pltpu.VMEM),             # n_contrib
         ],
-        out_specs=pl.BlockSpec((16, G), lambda i, ct, r0, cn: (0, i),
+        out_specs=pl.BlockSpec((16, G), lambda i, ct, r0, cn, tb: (0, i),
                                memory_space=pltpu.VMEM),       # d_entries
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
@@ -358,7 +358,7 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, accum, t_final,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, entries_t, pad(g_accum, 0.0), pad(g_t, 0.0),
+    )(ct, rank0, cnt, tile_base, entries_t, pad(g_accum, 0.0), pad(g_t, 0.0),
       pad(accum, 0.0), pad(t_final, 1.0), pad(nc, 0))
     return d_entries_t
 
@@ -377,27 +377,27 @@ class _Static(NamedTuple):
     interpret: bool
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _composite(entries_t, tile_start, tile_count, static):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _composite(entries_t, tile_start, tile_count, tile_base, static):
     accum, t_final, nc = _composite_fwd_call(
-        entries_t, tile_start, tile_count, **static._asdict())
+        entries_t, tile_start, tile_count, tile_base, **static._asdict())
     return accum, t_final, nc
 
 
-def _composite_fwd(entries_t, tile_start, tile_count, static):
+def _composite_fwd(entries_t, tile_start, tile_count, tile_base, static):
     accum, t_final, nc = _composite_fwd_call(
-        entries_t, tile_start, tile_count, **static._asdict())
+        entries_t, tile_start, tile_count, tile_base, **static._asdict())
     return (accum, t_final, nc), (entries_t, tile_start, tile_count,
-                                  accum, t_final, nc)
+                                  tile_base, accum, t_final, nc)
 
 
 def _composite_bwd(static, res, cot):
-    entries_t, tile_start, tile_count, accum, t_final, nc = res
+    entries_t, tile_start, tile_count, tile_base, accum, t_final, nc = res
     g_accum, g_t, _ = cot     # n_contrib is int-valued aux: no cotangent
     d_entries_t = _composite_bwd_call(
-        entries_t, tile_start, tile_count, accum, t_final, nc, g_accum,
-        g_t, **static._asdict())
-    return d_entries_t, None, None
+        entries_t, tile_start, tile_count, tile_base, accum, t_final, nc,
+        g_accum, g_t, **static._asdict())
+    return d_entries_t, None, None, None
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -406,7 +406,8 @@ _composite.defvjp(_composite_fwd, _composite_bwd)
 def composite_tiles_pallas(entries, tile_start, tile_count, *, n_tiles_x,
                            n_tiles_y, tile_h, tile_w, chunk=128,
                            alpha_min=1.0 / 255.0, alpha_max=0.99,
-                           t_eps=1e-4, interpret=False) -> CompositeOut:
+                           t_eps=1e-4, interpret=False,
+                           tile_id_base=0) -> CompositeOut:
     """entries: (M, 16) packed rows with chunk-aligned per-tile ranges
     (ops/binning.bin_gaussians(align=chunk)). Returns the same contract as
     the XLA oracle: accum (T,4,P), t_final (T,P), n_contrib (T,P)."""
@@ -414,7 +415,9 @@ def composite_tiles_pallas(entries, tile_start, tile_count, *, n_tiles_x,
     static = _Static(n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=tile_h,
                      tile_w=tile_w, chunk=chunk, alpha_min=alpha_min,
                      alpha_max=alpha_max, t_eps=t_eps, interpret=interpret)
-    accum, t_final, nc = _composite(entries.T, tile_start, tile_count, static)
+    base = jnp.reshape(jnp.asarray(tile_id_base, jnp.int32), (1,))
+    accum, t_final, nc = _composite(entries.T, tile_start, tile_count, base,
+                                    static)
     P = tile_h * tile_w
     return CompositeOut(accum=jnp.swapaxes(accum, 1, 2),
                         t_final=t_final.reshape(T, P),

@@ -96,6 +96,32 @@ def _gather_entries_bwd(m_cap, res, d_aligned):
 _gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 
+def composite_dispatch(entries, tile_start, tile_count,
+                       cfg: RasterizerConfig, *, n_tiles_x: int,
+                       n_tiles_y: int, tile_id_base=0, interpret=False):
+    """Route to the Pallas kernel or the pure-XLA oracle compositor.
+
+    cfg.use_pallas: "auto" picks Pallas on TPU; bools are accepted from
+    library callers."""
+    up = cfg.use_pallas
+    if isinstance(up, str):
+        up = (jax.default_backend() == "tpu") if up == "auto" else (up == "on")
+    if up:
+        from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
+        return composite_tiles_pallas(
+            entries, tile_start, tile_count,
+            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=cfg.tile_h,
+            tile_w=cfg.tile_w, chunk=cfg.chunk, alpha_min=cfg.alpha_min,
+            alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
+            interpret=interpret, tile_id_base=tile_id_base)
+    return composite_ref.composite_tiles_xla(
+        entries, tile_start, tile_count,
+        n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=cfg.tile_h,
+        tile_w=cfg.tile_w, chunk=cfg.chunk, alpha_min=cfg.alpha_min,
+        alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
+        tile_id_base=tile_id_base)
+
+
 def _tiles_to_image(tiles: jnp.ndarray, n_tiles_y: int, n_tiles_x: int,
                     tile_h: int, tile_w: int, H: int, W: int) -> jnp.ndarray:
     """(T, C, P) tile-flat → (C, H, W) cropped image."""
@@ -163,22 +189,9 @@ def render(gaussians: GaussianParams,
     else:
         entries = packed[b.gidx_sorted]              # (M, 16) — diff gather
 
-    up = cfg.use_pallas
-    if isinstance(up, str):
-        up = (jax.default_backend() == "tpu") if up == "auto" else (up == "on")
-    if up:
-        from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
-        out = composite_tiles_pallas(
-            entries, b.tile_start, b.tile_count,
-            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=th, tile_w=tw,
-            chunk=cfg.chunk, alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
-            t_eps=cfg.transmittance_eps, interpret=interpret)
-    else:
-        out = composite_ref.composite_tiles_xla(
-            entries, b.tile_start, b.tile_count,
-            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=th, tile_w=tw,
-            chunk=cfg.chunk, alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
-            t_eps=cfg.transmittance_eps)
+    out = composite_dispatch(
+        entries, b.tile_start, b.tile_count, cfg,
+        n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, interpret=interpret)
 
     accum_img = _tiles_to_image(out.accum, n_tiles_y, n_tiles_x, th, tw, H, W)
     t_img = _tiles_to_image(out.t_final[:, None, :], n_tiles_y, n_tiles_x,

@@ -66,13 +66,12 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
     entries = pack_entries(pre)[b.gidx_sorted]
 
     def shard_fn(tile_start, tile_count, entries):
+        from gsplat_tpu.ops.rasterize import composite_dispatch
         base = jax.lax.axis_index(axis) * (T // n_dev)
-        out = composite_ref.composite_tiles_xla(
-            entries, tile_start, tile_count,
+        out = composite_dispatch(
+            entries, tile_start, tile_count, cfg,
             n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y_pad // n_dev,
-            tile_h=th, tile_w=tw, chunk=cfg.chunk,
-            alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
-            t_eps=cfg.transmittance_eps, tile_id_base=base)
+            tile_id_base=base)
         return out.accum, out.t_final
 
     accum, t_final = jax.shard_map(

@@ -60,6 +60,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
     viewpoint_stack = []
     ema_loss = 0.0
     ema_depth = 0.0
+    pair_ema = None
     key = jax.random.PRNGKey(0)
     timer = Timer()
     t_start = time.time()
@@ -123,12 +124,39 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         depth_f = float(aux.depth_l1)
         ema_loss = 0.4 * loss_f + 0.6 * ema_loss
         ema_depth = 0.4 * depth_f + 0.6 * ema_depth
+
+        # ---- adaptive pair-list capacity ----
+        # Every binning pass (sort/cumsum/scatter) costs proportionally to
+        # the STATIC m_cap, so track the real pair count and keep capacity
+        # ~1.5x above it: grow (and retrain the truncated frame) on
+        # overflow, shrink when persistently over-provisioned. Each change
+        # is one re-jit — rare after warm-up.
+        n_act = max(int(np.asarray(state.gaussians.num_active())), 1)
+        pairs_pg = int(aux.num_pairs) / n_act
+        pair_ema = pairs_pg if pair_ema is None else \
+            0.1 * pairs_pg + 0.9 * pair_ema
         if int(aux.overflow) > 0:
-            # pair-list overflow: raise the static pair capacity and re-jit
             rcfg = dataclasses.replace(
-                rcfg, pairs_per_gaussian=rcfg.pairs_per_gaussian * 2)
+                rcfg, pairs_per_gaussian=max(rcfg.pairs_per_gaussian * 2,
+                                             pairs_pg * 1.5))
             print(f"[iter {iteration}] pair overflow {int(aux.overflow)} — "
-                  f"pairs_per_gaussian → {rcfg.pairs_per_gaussian}")
+                  f"pairs_per_gaussian → {rcfg.pairs_per_gaussian:.1f}; "
+                  f"retrying frame")
+            # the truncated frame trained on garbage gradients; redo it
+            state, aux = trainer.train_step(
+                state, cam.view(), gt, amask, inv_gt, dmask, bg,
+                image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                spatial_lr_scale=spatial_lr_scale,
+                antialiasing=pipe.antialiasing,
+                use_sparse_adam=use_sparse_adam,
+                train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+        elif (iteration % 500 == 0
+              and rcfg.pairs_per_gaussian > 4.0
+              and rcfg.pairs_per_gaussian > 2.5 * pair_ema):
+            new_ppg = max(pair_ema * 1.5, 4.0)
+            print(f"[iter {iteration}] shrinking pairs_per_gaussian "
+                  f"{rcfg.pairs_per_gaussian:.1f} → {new_ppg:.1f}")
+            rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=new_ppg)
 
         if not quiet and iteration % 10 == 0:
             n_act = int(np.asarray(state.gaussians.num_active()))

@@ -112,8 +112,11 @@ def test_dp_step_different_cameras_runs(rng):
 def test_prim_sharded_render_matches_single(rng):
     """Depth-slab primitive sharding + ordered segment merge matches the
     single-device render. Tolerance covers the early-termination divergence
-    (slabs restart at local T=1; see prim_shard docstring) — bounded by the
-    transmittance at the cut, ~1e-2 worst case on saturated pixels."""
+    (slabs restart at local T=1; see prim_shard docstring): the cut fires
+    when T(1-a) < 1e-4, i.e. at T up to 1e-4/(1-alpha_max) = 1e-2, so the
+    tail a slab (correctly) keeps compositing can move a saturated pixel by
+    up to ~2e-2. The companion grad test runs with no cut firing and checks
+    near-exactness of the merge itself."""
     from gsplat_tpu.parallel import prim_shard
     W, H = TILE_W, 4 * TILE_H
     g, cam = make_scene(rng, n=400)
@@ -123,9 +126,9 @@ def test_prim_sharded_render_matches_single(rng):
         g_, c_, W, H, jnp.full(3, 0.25), rcfg, mesh))(g, cam)
     out = render(g, cam, W, H, jnp.full(3, 0.25), rcfg)
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(out.image),
-                               rtol=0, atol=5e-3)
+                               rtol=0, atol=2.5e-2)
     np.testing.assert_allclose(np.asarray(invd_s), np.asarray(out.invdepth),
-                               rtol=0, atol=5e-3)
+                               rtol=0, atol=2.5e-2)
 
 
 def test_prim_sharded_grads_match_single(rng):
