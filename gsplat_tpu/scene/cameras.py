@@ -76,10 +76,22 @@ def load_cam(resolution_arg: int, cam_info: CameraInfo, resolution_scale=1.0,
     images wider than 1600px when resolution == -1; inverse-depth PNG decode
     at /512 (synthetic 16-bit) or /(2^16) handled by the caller-provided
     scale; half-image alpha masking for train_test_exp (scene/cameras.py:50-54).
+
+    Decode/resize runs through the native threaded loader
+    (gsplat_tpu/native, libjpeg/libpng + area filter) when built; PIL is
+    the fallback. Set GSPLAT_NATIVE_LOADER=0 to force PIL.
     """
-    from PIL import Image
-    pil = Image.open(cam_info.image_path)
-    orig_w, orig_h = pil.size
+    from gsplat_tpu import native
+
+    size = native.image_size(cam_info.image_path) if native.available() \
+        else None
+    if size is None:
+        from PIL import Image
+        pil = Image.open(cam_info.image_path)
+        orig_w, orig_h = pil.size
+    else:
+        pil = None
+        orig_w, orig_h = size
 
     if resolution_arg in [1, 2, 4, 8]:
         scale = resolution_scale * resolution_arg
@@ -101,12 +113,26 @@ def load_cam(resolution_arg: int, cam_info: CameraInfo, resolution_scale=1.0,
         scale = float(global_down) * float(resolution_scale)
         resolution = (int(orig_w / scale), int(orig_h / scale))
 
-    arr = np.asarray(pil).astype(np.float32) / 255.0
-    if arr.ndim == 2:
-        arr = arr[:, :, None].repeat(3, axis=2)
-    resized = _resize_image(arr, resolution)
-    if resized.ndim == 2:
-        resized = resized[:, :, None].repeat(3, axis=2)
+    if pil is None:
+        decoded = native.decode_image(cam_info.image_path,
+                                      resolution[0], resolution[1])
+    else:
+        decoded = None
+    if decoded is not None:
+        chw, has_alpha = decoded                    # (4,H,W) RGBA
+        resized = chw.transpose(1, 2, 0)            # HWC
+        if not has_alpha:
+            resized = resized[:, :, :3]
+    else:
+        if pil is None:
+            from PIL import Image
+            pil = Image.open(cam_info.image_path)
+        arr = np.asarray(pil).astype(np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None].repeat(3, axis=2)
+        resized = _resize_image(arr, resolution)
+        if resized.ndim == 2:
+            resized = resized[:, :, None].repeat(3, axis=2)
     rgb = resized[:, :, :3]
     if resized.shape[2] == 4:
         alpha = resized[:, :, 3:4]

@@ -278,3 +278,75 @@ def test_make_depth_scale_tool(tmp_path, rng):
     # nearest-fill + bilinear sampling adds noise; scale should still land
     # near 0.5 (mono = 2*colmap + 0.1)
     assert abs(params["v"]["scale"] - 0.5) < 0.15
+
+
+def test_native_loader_matches_pil(tmp_path, rng):
+    """Native (libjpeg/libpng) decode parity with PIL + area-resize within
+    quantization of PIL's BOX filter."""
+    from PIL import Image
+    from gsplat_tpu import native
+    if not native.available():
+        pytest.skip("native loader unavailable (no toolchain)")
+
+    arr = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    p_png = str(tmp_path / "t.png")
+    p_jpg = str(tmp_path / "t.jpg")
+    Image.fromarray(arr).save(p_png)
+    Image.fromarray(arr).save(p_jpg, quality=92)
+    rgba = rng.integers(0, 255, (64, 96, 4)).astype(np.uint8)
+    p_rgba = str(tmp_path / "a.png")
+    Image.fromarray(rgba).save(p_rgba)
+
+    assert native.image_size(p_png) == (96, 64)
+    for p in (p_png, p_jpg):
+        img, has_alpha = native.decode_image(p, 96, 64)
+        ref = np.asarray(Image.open(p), np.float32) / 255.0
+        np.testing.assert_allclose(img[:3].transpose(1, 2, 0), ref,
+                                   atol=1e-6)
+        assert not has_alpha
+    img, has_alpha = native.decode_image(p_rgba, 96, 64)
+    assert has_alpha
+    np.testing.assert_allclose(
+        img.transpose(1, 2, 0),
+        np.asarray(Image.open(p_rgba), np.float32) / 255.0, atol=1e-6)
+
+    # area downscale ≈ PIL BOX (within 8-bit quantization of PIL's path)
+    small, _ = native.decode_image(p_png, 48, 32)
+    ref = np.asarray(Image.open(p_png).resize((48, 32), Image.BOX),
+                     np.float32) / 255.0
+    np.testing.assert_allclose(small[:3].transpose(1, 2, 0), ref,
+                               atol=1.1 / 255.0)
+
+    batch, flags = native.decode_batch([p_png, p_rgba, p_jpg], 48, 32, 3)
+    assert batch.shape == (3, 4, 32, 48)
+    assert list(flags) == [False, True, False]
+
+
+def test_load_cam_native_matches_pil(tmp_path, rng):
+    """load_cam must produce (nearly) the same tensors with and without the
+    native loader."""
+    import os
+    from PIL import Image
+    from gsplat_tpu import native
+    from gsplat_tpu.scene.cameras import load_cam
+    from gsplat_tpu.scene.dataset_readers import CameraInfo
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    # smooth image: the area filter and PIL's default bicubic agree closely
+    # on natural content (noise is their worst-case divergence)
+    yy, xx = np.mgrid[0:100, 0:200]
+    smooth = np.stack([xx * 255 / 200, yy * 255 / 100,
+                       (xx + yy) * 255 / 300], -1).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(smooth).save(p)
+    ci = CameraInfo(uid=0, R=np.eye(3), T=np.zeros(3), FovY=0.8, FovX=0.9,
+                    image_path=p, image_name="img", width=200, height=100)
+    cam_native = load_cam(2, ci)
+    os.environ["GSPLAT_NATIVE_LOADER"] = "0"
+    try:
+        cam_pil = load_cam(2, ci)
+    finally:
+        os.environ.pop("GSPLAT_NATIVE_LOADER")
+    assert cam_native.image.shape == cam_pil.image.shape
+    assert np.abs(cam_native.image - cam_pil.image).mean() < 0.01
