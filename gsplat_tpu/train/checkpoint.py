@@ -83,3 +83,43 @@ def grow_capacity(state: "trainer.TrainState", new_cap: int) -> "trainer.TrainSt
         denom=pad_rows(state.stats.denom),
         max_radii2d=pad_rows(state.stats.max_radii2d))
     return dataclasses.replace(state, gaussians=g, adam=adam, stats=stats)
+
+
+# ------------------------------------------------------------------ orbax
+# Sharded/async checkpointing for multi-host training (SURVEY.md §5:
+# "Orbax async checkpointing at intervals; multi-host restore"). The .npz
+# path above stays the single-host default; orbax handles NamedSharding'd
+# arrays transparently on pods.
+
+def save_checkpoint_orbax(dir_path: str, state: "trainer.TrainState",
+                          iteration: int) -> None:
+    """Write <dir_path>/step_<iteration>/ with the full TrainState."""
+    import os
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(dir_path, f"step_{iteration}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+
+
+def load_checkpoint_orbax(dir_path: str, template: "trainer.TrainState",
+                          iteration: int = -1):
+    """Restore (state, iteration); iteration == -1 loads the latest step.
+
+    ``template`` supplies shapes/dtypes/shardings (build via
+    trainer.init_state with the checkpointed capacity)."""
+    import os
+    import re
+    import orbax.checkpoint as ocp
+
+    if iteration == -1:
+        steps = [int(m.group(1)) for m in
+                 (re.match(r"step_(\d+)$", d)
+                  for d in os.listdir(dir_path)) if m]
+        if not steps:
+            raise FileNotFoundError(f"no step_* checkpoints in {dir_path}")
+        iteration = max(steps)
+    path = os.path.abspath(os.path.join(dir_path, f"step_{iteration}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, template)
+    return state, iteration

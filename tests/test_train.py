@@ -163,3 +163,69 @@ def test_sh_degree_warmup(rng):
         antialiasing=False, use_sparse_adam=False, train_test_exp=False,
         use_depth=False)
     assert int(state.gaussians.active_sh_degree) == 1
+
+
+def test_ssim_matches_torch_reference(rng):
+    """Our SSIM vs an independent torch implementation of the published
+    SSIM (11x11 Gaussian window sigma=1.5, C1=0.01^2, C2=0.03^2, same-pad
+    depthwise conv) — the math of reference utils/loss_utils.py:46-86."""
+    import torch
+    import torch.nn.functional as F
+    from gsplat_tpu.ops.ssim import ssim
+
+    def torch_ssim(img1, img2, window_size=11, sigma=1.5):
+        C = img1.shape[0]
+        xs = torch.arange(window_size, dtype=torch.float64)
+        g = torch.exp(-((xs - window_size // 2) ** 2) / (2 * sigma ** 2))
+        g = (g / g.sum()).float()
+        win = (g[:, None] @ g[None, :]).expand(C, 1, window_size, window_size)
+        pad = window_size // 2
+
+        def blur(x):
+            return F.conv2d(x[None], win, padding=pad, groups=C)[0]
+
+        mu1, mu2 = blur(img1), blur(img2)
+        s1 = blur(img1 * img1) - mu1 ** 2
+        s2 = blur(img2 * img2) - mu2 ** 2
+        s12 = blur(img1 * img2) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+        return float(m.mean())
+
+    a = rng.uniform(0, 1, (3, 40, 56)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal((3, 40, 56)).astype(np.float32),
+                0, 1)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    want = torch_ssim(torch.from_numpy(a), torch.from_numpy(b))
+    np.testing.assert_allclose(ours, want, rtol=2e-5, atol=2e-6)
+
+
+def test_checkpoint_roundtrip_npz_and_orbax(tmp_path, rng):
+    """Save/restore the full TrainState through both backends."""
+    from gsplat_tpu.models import gaussian_model as gm
+    from gsplat_tpu.train import checkpoint as ckpt
+    from gsplat_tpu.train import trainer
+
+    pts = rng.standard_normal((40, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+    g = gm.create_from_pcd(pts, cols, 1, capacity=64)
+    state = trainer.init_state(g, 3)
+    state = dataclasses.replace(state, step=jnp.asarray(123, jnp.int32))
+
+    p = str(tmp_path / "ck.npz")
+    ckpt.save_checkpoint(p, state, 123)
+    state2, it = ckpt.load_checkpoint(p)
+    assert it == 123
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    d = str(tmp_path / "orbax")
+    ckpt.save_checkpoint_orbax(d, state, 123)
+    template = trainer.init_state(g, 3)
+    state3, it3 = ckpt.load_checkpoint_orbax(d, template)
+    assert it3 == 123
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(state3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
