@@ -46,15 +46,16 @@ def main():
 
     rng = np.random.default_rng(0)
     pts = rng.standard_normal((n, 3)).astype(np.float32) * 2.0
-    pts[:, 2] += 6.0
+    pts[:, 2] = np.abs(pts[:, 2]) + 4.0   # match bench.py's scene
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     g = gm.create_from_pcd(pts, colors, max_sh_degree=3, capacity=n)
     g = dataclasses.replace(
         g, active_sh_degree=jnp.asarray(3, jnp.int32),
+        scaling=g.scaling - 1.0,
         opacity=g.opacity.at[:].set(0.0))
     cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
     opt = OptimizationConfig()
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=24.0)
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=16.0)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
 
