@@ -25,15 +25,37 @@ def render_set(model_path, name, iteration, views, gaussians, rcfg, pipe,
     os.makedirs(render_path, exist_ok=True)
     os.makedirs(gts_path, exist_ok=True)
 
+    # The reference's convert_SHs_python / compute_cov3D_python flags select
+    # its Python fallback paths as kernel cross-checks
+    # (gaussian_renderer/__init__.py:64-80). Here the renderer's built-in
+    # SH/covariance math already IS pure JAX — the flags feed the same
+    # quantities through the explicit precomp arguments instead, exercising
+    # the override plumbing end-to-end.
+    cov3d = None
+    if pipe.compute_cov3D_python:
+        cov3d = gaussians.get_covariance()
+
     for idx, view in enumerate(views):
         exposure = None
         if train_test_exp and exposures is not None and exposure_map:
             ei = exposure_map.get(view.image_name, -1)
             if ei >= 0:
                 exposure = jnp.asarray(exposures[ei])
+        override_color = None
+        if pipe.convert_SHs_python:
+            from gsplat_tpu.core import sh as sh_lib
+            cv = view.view()
+            dirs = gaussians.xyz - cv.camera_center[None, :]
+            nrm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            dirs = dirs / jnp.maximum(nrm, 1e-8)
+            deg = int(gaussians.active_sh_degree)
+            override_color = jnp.maximum(
+                sh_lib.eval_sh(deg, gaussians.get_features().swapaxes(1, 2),
+                               dirs) + 0.5, 0.0)
         out = render(gaussians, view.view(), view.width, view.height,
                      background, rcfg, antialiasing=pipe.antialiasing,
-                     exposure=exposure)
+                     exposure=exposure, override_color=override_color,
+                     cov3d_precomp=cov3d)
         img = np.asarray(out.image)
         gt = np.asarray(view.image)[:3]
         if train_test_exp:

@@ -80,10 +80,15 @@ def _alpha_terms(data, px, py):
 
 
 def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
-                 n_chunks: int):
+                 n_chunks: int, count_clamp=None):
     """Per-chunk (tile, rank0, count) scalar-prefetch tables from the
     aligned per-tile ranges, via diff-scatter + cumsum (no gathers —
-    TPU-measured: M-sized gathers cost ~70 ms, cumsums ~5 ms)."""
+    TPU-measured: M-sized gathers cost ~70 ms, cumsums ~5 ms).
+
+    The chunk→tile layout always follows ``tile_count`` (it determined the
+    aligned buffer layout); ``count_clamp`` (T,) only lowers the per-chunk
+    effective count (used by the backward to skip past-last-contributor
+    chunks) without disturbing the layout."""
     from gsplat_tpu.ops.binning import _expand
 
     start_chunk = tile_start // chunk                       # (T,)
@@ -92,7 +97,9 @@ def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
     first = _expand(start_chunk, start_chunk, n_chunks)
     ci = jnp.arange(n_chunks, dtype=jnp.int32)
     rank0 = (ci - first) * chunk                            # chunk → rank0
-    cc = _expand(tile_count, start_chunk, n_chunks)
+    eff = tile_count if count_clamp is None else \
+        jnp.minimum(tile_count, count_clamp)
+    cc = _expand(eff, start_chunk, n_chunks)
     # tail chunks past the last real range → sentinel tile n_tiles
     used = -(-tile_count // chunk) * chunk
     total_chunks = (jnp.sum(used) // chunk).astype(jnp.int32)
@@ -316,8 +323,15 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, tile_base, accum,
     M = entries_t.shape[1]
     n_chunks = M // G
 
+    # Beyond a tile's last contributor (max n_contrib over its pixels) every
+    # entry has keep = False and zero gradient — clamp the effective count
+    # so those chunks skip compute entirely (their d blocks are zeroed by
+    # the unconditional init). On saturating scenes this skips most of the
+    # backward walk, mirroring the forward's early-out economics.
+    max_nc = jnp.max(nc[:, :, 0], axis=1).astype(jnp.int32)    # (T,)
     ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
-                                  chunk=G, n_chunks=n_chunks)
+                                  chunk=G, n_chunks=n_chunks,
+                                  count_clamp=max_nc)
     # sentinel tile T must address a valid input row
     pad = lambda x, v: jnp.concatenate(
         [x, jnp.full((1,) + x.shape[1:], v, x.dtype)])

@@ -187,3 +187,29 @@ def test_binning_overflow_reporting(rng):
     out = rasterize.render(g, cam, W, H, bg_color=jnp.zeros(3),
                            cfg=cfg(), m_cap=16)
     assert int(out.overflow) > 0
+
+
+def test_python_path_overrides_match_builtin(rng):
+    """override_color = eval_sh(...) and cov3d_precomp = get_covariance()
+    must reproduce the built-in paths exactly (the reference's
+    convert_SHs_python / compute_cov3D_python cross-check, reference
+    gaussian_renderer/__init__.py:64-80)."""
+    from gsplat_tpu.core import sh as sh_lib
+    from gsplat_tpu.ops.rasterize import render
+    W, H = TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=150)
+    rcfg = cfg()
+    bg = jnp.full(3, 0.1)
+    base = render(g, cam, W, H, bg, rcfg)
+
+    cv = cam
+    dirs = g.xyz - cv.camera_center[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-8)
+    deg = int(g.active_sh_degree)
+    colors = jnp.maximum(
+        sh_lib.eval_sh(deg, g.get_features().swapaxes(1, 2), dirs) + 0.5, 0.0)
+    alt = render(g, cam, W, H, bg, rcfg, override_color=colors,
+                 cov3d_precomp=g.get_covariance())
+    np.testing.assert_allclose(np.asarray(alt.image), np.asarray(base.image),
+                               rtol=1e-5, atol=1e-6)
