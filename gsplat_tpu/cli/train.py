@@ -25,6 +25,9 @@ def main(argv=None):
                         default=[7_000, 30_000])
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--disable_viewer", action="store_true", default=False)
+    parser.add_argument("--data_parallel", action="store_true", default=False,
+                        help="camera data-parallel training over all devices"
+                             " (one camera per chip per step)")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
@@ -64,7 +67,8 @@ def main(argv=None):
     from gsplat_tpu.train.loop import train
     train(dataset, opt, pipe, rcfg, args.test_iterations,
           args.save_iterations, args.checkpoint_iterations,
-          args.start_checkpoint, network_gui_server=server, quiet=args.quiet)
+          args.start_checkpoint, network_gui_server=server, quiet=args.quiet,
+          data_parallel=args.data_parallel)
     print("\nTraining complete.")
 
 

@@ -37,7 +37,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
           rcfg: RasterizerConfig, testing_iterations, saving_iterations,
           checkpoint_iterations, start_checkpoint: Optional[str] = None,
           network_gui_server=None, quiet: bool = False,
-          capacity_multiplier: float = 4.0):
+          capacity_multiplier: float = 4.0, data_parallel: bool = False):
     """Run the full optimization. Returns (scene, state)."""
     scene = Scene(dataset, dataset.sh_degree, capacity=0)
     n0 = int(np.asarray(scene.gaussians.num_active()))
@@ -56,6 +56,44 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
     use_sparse_adam = opt.optimizer_type == "sparse_adam"
     use_depth = any(c.invdepthmap is not None for c in train_cams)
     spatial_lr_scale = float(scene.cameras_extent)
+
+    # ---- multi-chip camera data-parallelism (new capability) ----
+    # With >1 device, each step trains mesh-size cameras at once: per-chip
+    # render/backward, gradient psum over ICI, replicated update
+    # (parallel/dp.py). Cameras batch within one resolution group (COLMAP
+    # scenes can mix camera intrinsics). One step still counts as one
+    # iteration — schedules follow optimizer steps.
+    n_dev = len(jax.devices())
+    dp_steps = {}
+    dp_mesh = None
+    if data_parallel and n_dev > 1:
+        from gsplat_tpu.parallel import dp as dp_lib
+        from gsplat_tpu.parallel.mesh import make_mesh
+        dp_mesh = make_mesh((("data", n_dev),))
+        print(f"camera data-parallel training over {n_dev} devices")
+
+    def _dp_step_for(W, H):
+        if (W, H) not in dp_steps:
+            from gsplat_tpu.parallel import dp as dp_lib
+            dp_steps[(W, H)] = dp_lib.make_dp_train_step(
+                dp_mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                spatial_lr_scale=spatial_lr_scale,
+                antialiasing=pipe.antialiasing,
+                use_sparse_adam=use_sparse_adam,
+                train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+        return dp_steps[(W, H)]
+
+    def _cam_arrays(cam):
+        H, W = cam.height, cam.width
+        gt = np.asarray(cam.image)
+        amask = np.asarray(cam.alpha_mask)
+        if cam.invdepthmap is not None and cam.depth_reliable:
+            inv_gt = np.asarray(cam.invdepthmap)
+            dmask = np.asarray(cam.depth_mask)
+        else:
+            inv_gt = np.zeros((1, H, W), np.float32)
+            dmask = np.zeros((1, H, W), np.float32)
+        return gt, amask, inv_gt, dmask
 
     viewpoint_stack = []
     ema_loss = 0.0
@@ -76,28 +114,45 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         cam = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
 
         H, W = cam.height, cam.width
-        gt = jnp.asarray(cam.image)
-        amask = jnp.asarray(cam.alpha_mask)
-        if cam.invdepthmap is not None and cam.depth_reliable:
-            inv_gt = jnp.asarray(cam.invdepthmap)
-            dmask = jnp.asarray(cam.depth_mask)
-        else:
-            inv_gt = jnp.zeros((1, H, W), jnp.float32)
-            dmask = jnp.zeros((1, H, W), jnp.float32)
-
         if opt.random_background:
             key, sub = jax.random.split(key)
             bg = jax.random.uniform(sub, (3,))
         else:
             bg = bg_color
 
-        state, aux = trainer.train_step(
-            state, cam.view(), gt, amask, inv_gt, dmask, bg,
-            image_width=W, image_height=H, opt=opt, rcfg=rcfg,
-            spatial_lr_scale=spatial_lr_scale,
-            antialiasing=pipe.antialiasing,
-            use_sparse_adam=use_sparse_adam,
-            train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+        if dp_mesh is not None:
+            # fill the batch with same-resolution cameras (with replacement
+            # if the stack runs dry mid-batch); remove by identity — Camera
+            # holds numpy arrays, so == is not usable
+            batch = [cam]
+            rest_idx = [i for i, c in enumerate(viewpoint_stack)
+                        if (c.width, c.height) == (W, H)]
+            random.shuffle(rest_idx)
+            taken = sorted(rest_idx[:n_dev - 1], reverse=True)
+            for i in taken:
+                batch.append(viewpoint_stack.pop(i))
+            while len(batch) < n_dev:
+                batch.append(random.choice(
+                    [c for c in scene.getTrainCameras()
+                     if (c.width, c.height) == (W, H)]))
+            arrays = [_cam_arrays(c) for c in batch]
+            from gsplat_tpu.parallel import dp as dp_lib
+            cam_b = dp_lib.stack_camera_batch(batch)
+            gt_b, am_b, iv_b, dm_b = (
+                jnp.asarray(np.stack([a[i] for a in arrays]))
+                for i in range(4))
+            state, aux = _dp_step_for(W, H)(state, cam_b, gt_b, am_b,
+                                            iv_b, dm_b, bg)
+        else:
+            gt, amask, inv_gt, dmask = (jnp.asarray(a)
+                                        for a in _cam_arrays(cam))
+            state, aux = trainer.train_step(
+                state, cam.view(), gt, amask, inv_gt, dmask, bg,
+                image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                spatial_lr_scale=spatial_lr_scale,
+                antialiasing=pipe.antialiasing,
+                use_sparse_adam=use_sparse_adam,
+                train_test_exp=dataset.train_test_exp, use_depth=use_depth)
 
         # ---- host-side densification orchestration (train.py:163-174) ----
         if iteration < opt.densify_until_iter:
@@ -143,13 +198,19 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
                   f"pairs_per_gaussian → {rcfg.pairs_per_gaussian:.1f}; "
                   f"retrying frame")
             # the truncated frame trained on garbage gradients; redo it
-            state, aux = trainer.train_step(
-                state, cam.view(), gt, amask, inv_gt, dmask, bg,
-                image_width=W, image_height=H, opt=opt, rcfg=rcfg,
-                spatial_lr_scale=spatial_lr_scale,
-                antialiasing=pipe.antialiasing,
-                use_sparse_adam=use_sparse_adam,
-                train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+            # (the grown capacity is a new static shape → fresh jit)
+            if dp_mesh is not None:
+                dp_steps.clear()
+                state, aux = _dp_step_for(W, H)(state, cam_b, gt_b, am_b,
+                                                iv_b, dm_b, bg)
+            else:
+                state, aux = trainer.train_step(
+                    state, cam.view(), gt, amask, inv_gt, dmask, bg,
+                    image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                    spatial_lr_scale=spatial_lr_scale,
+                    antialiasing=pipe.antialiasing,
+                    use_sparse_adam=use_sparse_adam,
+                    train_test_exp=dataset.train_test_exp, use_depth=use_depth)
         elif (iteration % 500 == 0
               and rcfg.pairs_per_gaussian > 4.0
               and rcfg.pairs_per_gaussian > 2.5 * pair_ema):
@@ -157,6 +218,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             print(f"[iter {iteration}] shrinking pairs_per_gaussian "
                   f"{rcfg.pairs_per_gaussian:.1f} → {new_ppg:.1f}")
             rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=new_ppg)
+            dp_steps.clear()   # step fns bake rcfg into their closures
 
         if not quiet and iteration % 10 == 0:
             n_act = int(np.asarray(state.gaussians.num_active()))

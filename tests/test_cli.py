@@ -92,3 +92,19 @@ def test_train_render_metrics_pipeline(tmp_path, rng):
     with open(os.path.join(model, "per_view.json")) as f:
         per_view = json.load(f)
     assert len(per_view[method]["PSNR"]) == len(os.listdir(renders))
+
+
+def test_train_cli_data_parallel(tmp_path, rng):
+    """--data_parallel drives the camera-DP loop path over the 8-device
+    mesh (smoke: loss finite, PLY saved)."""
+    from gsplat_tpu.cli import train as train_cli
+    src = _make_colmap_scene(str(tmp_path / "scene"), n_pts=60, n_cams=4,
+                             W=32, H=32, rng=rng)
+    model = str(tmp_path / "model_dp")
+    train_cli.main([
+        "--source_path", src, "--model_path", model,
+        "--iterations", "3", "--sh_degree", "0",
+        "--test_iterations", "-1", "--save_iterations", "3",
+        "--disable_viewer", "--quiet", "--data_parallel"])
+    assert os.path.exists(
+        os.path.join(model, "point_cloud/iteration_3/point_cloud.ply"))
