@@ -1,0 +1,75 @@
+"""SIBR remote-viewer bridge: wire-protocol loopback test.
+
+Drives gsplat_tpu/viewer/network_gui.py with a fake SIBR client speaking
+the reference protocol (network_gui.py:43-86): length-prefixed JSON camera
+in, raw H·W·3 RGB bytes + length-prefixed source path out.
+"""
+import json
+import math
+import socket
+import threading
+
+import numpy as np
+
+from tests.test_rasterize import make_scene, cfg
+
+
+def _client(port, W, H, result):
+    # long timeout: the first render() compile on CPU dominates
+    s = socket.create_connection(("127.0.0.1", port), timeout=240)
+    view = np.eye(4, dtype=np.float32)
+    # reference clients send y/z-flipped matrices; the bridge flips back
+    view[:, 1] *= -1
+    view[:, 2] *= -1
+    proj = np.eye(4, dtype=np.float32)
+    proj[:, 1] *= -1
+    msg = {
+        "resolution_x": W, "resolution_y": H, "train": False,
+        "fov_y": 0.7, "fov_x": 0.9, "z_near": 0.01, "z_far": 100.0,
+        "shs_python": False, "rot_scale_python": False, "keep_alive": False,
+        "scaling_modifier": 1.0,
+        "view_matrix": view.flatten().tolist(),
+        "view_projection_matrix": proj.flatten().tolist(),
+    }
+    payload = json.dumps(msg).encode()
+    s.sendall(len(payload).to_bytes(4, "little"))
+    s.sendall(payload)
+    img = b""
+    want = W * H * 3
+    while len(img) < want:
+        chunk = s.recv(want - len(img))
+        assert chunk, "connection closed early"
+        img += chunk
+    n = int.from_bytes(s.recv(4), "little")
+    path = s.recv(n).decode("ascii") if n else ""
+    result["img"] = np.frombuffer(img, np.uint8).reshape(H, W, 3)
+    result["path"] = path
+    s.close()
+
+
+def test_network_gui_roundtrip(rng):
+    from gsplat_tpu.config import PipelineConfig
+    from gsplat_tpu.viewer.network_gui import NetworkGUI
+    from gsplat_tpu.train import trainer
+
+    W, H = 64, 32
+    g, _cam = make_scene(rng, n=100)
+    state = trainer.init_state(g, 1)
+    rcfg = cfg()
+
+    server = NetworkGUI("127.0.0.1", 0)
+    port = server.listener.getsockname()[1]
+
+    result = {}
+    t = threading.Thread(target=_client, args=(port, W, H, result))
+    t.start()
+    # poll until the request is served (try_connect is non-blocking)
+    import time
+    deadline = time.time() + 240
+    while "img" not in result and time.time() < deadline:
+        server.poll(state, object(), PipelineConfig(), rcfg,
+                    np.zeros(3, np.float32), iteration=1, max_iterations=10)
+        time.sleep(0.01)
+    t.join(timeout=10)
+    assert "img" in result, "no image received over the bridge"
+    assert result["img"].shape == (H, W, 3)
