@@ -20,13 +20,14 @@ cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=0.9, fovy=0.7)
 
 W, H = 256, 128
 use_pallas = sys.argv[1] == "pallas" if len(sys.argv) > 1 else False
-cfg = RasterizerConfig(use_pallas=use_pallas)
+cfg = RasterizerConfig(use_pallas=use_pallas, pairs_per_gaussian=64.0)
 out = rasterize.render(g, cam, W, H, bg_color=jnp.zeros(3), cfg=cfg)
 img = np.asarray(out.image)
 print(f"impl={'pallas' if use_pallas else 'xla'} image shape {img.shape} "
       f"range [{img.min():.4f},{img.max():.4f}] mean {img.mean():.4f}")
 print("visible gaussians:", int(np.asarray((out.radii > 0).sum())),
       "pairs:", int(out.num_pairs), "overflow:", int(out.overflow))
+assert int(out.overflow) == 0, "pair list truncated — drive must not overflow"
 assert img.shape == (3, H, W) and img.max() > 0.05, "blank render!"
 
 # gradient through the whole pipeline
