@@ -57,7 +57,7 @@ def main():
     opt = OptimizationConfig()
     # headroom so the pair list never truncates (overflow would flatter
     # the numbers); the run asserts overflow == 0 below
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=16.0)
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0)
     state = trainer.init_state(g, 1)
 
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))

@@ -55,7 +55,7 @@ def main():
         opacity=g.opacity.at[:].set(0.0))
     cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
     opt = OptimizationConfig()
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=16.0)
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
 
