@@ -107,15 +107,14 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
         # half-open slabs [lo, hi); the last slab is closed by +big bound
         in_slab = (pre_depth >= lo) & (pre_depth < hi)
         radius = jnp.where(in_slab, pre_radius, 0.0)
+        from gsplat_tpu.ops.rasterize import composite_dispatch
         b = binning_lib.bin_gaussians(
             pre_mean2d, pre_depth, radius, image_width=W, image_height=H,
             tile_h=th, tile_w=tw, m_cap=m_cap, align=cfg.chunk)
         entries = packed[b.gidx_sorted]
-        out = composite_ref.composite_tiles_xla(
-            entries, b.tile_start, b.tile_count,
-            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=th, tile_w=tw,
-            chunk=cfg.chunk, alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
-            t_eps=cfg.transmittance_eps)
+        out = composite_dispatch(
+            entries, b.tile_start, b.tile_count, cfg,
+            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y)
         # ordered segment merge: all_gather (k-major = near-to-far), fold
         seg_a = jax.lax.all_gather(out.accum, axis)       # (n_dev,T,4,P)
         seg_t = jax.lax.all_gather(out.t_final, axis)     # (n_dev,T,P)
