@@ -72,13 +72,21 @@ def test_expon_lr_matches_reference():
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-9)
 
 
-@reference
-def test_covariance_matches_reference(rng):
-    _, _, general_utils = _ref_modules()
-    import torch
-    if not torch.cuda.is_available():
-        # reference build_scaling_rotation hardcodes device="cuda"
-        pytest.skip("reference covariance helpers require cuda")
+def test_covariance_matches_scipy_oracle(rng):
+    """Σ = R·diag(s²)·Rᵀ against scipy's independent quaternion→rotation
+    (the reference's torch helper hardcodes device="cuda" and cannot run
+    here; scipy is a stronger independent oracle anyway)."""
+    from scipy.spatial.transform import Rotation
+    n = 24
+    s = np.exp(rng.standard_normal((n, 3)).astype(np.float32) * 0.3)
+    q = rng.standard_normal((n, 4)).astype(np.float32)  # (w,x,y,z), unnorm
+    cov6 = transforms.covariance_from_scaling_rotation(
+        jnp.asarray(s), 1.0, jnp.asarray(q))
+    C = np.asarray(transforms.cov6_to_mat(cov6))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    R = Rotation.from_quat(qn[:, [1, 2, 3, 0]]).as_matrix()  # xyzw order
+    want = np.einsum("nij,nj,nkj->nik", R, s.astype(np.float64) ** 2, R)
+    np.testing.assert_allclose(C, want, rtol=1e-4, atol=1e-6)
 
 
 def test_covariance_psd_and_symmetric(rng):
