@@ -30,6 +30,10 @@ def main(argv=None):
                              " (one camera per chip per step)")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
+    parser.add_argument("--checkpoint_interval", type=int, default=0,
+                        help="every N iterations, write an ASYNC orbax "
+                             "checkpoint to <model_path>/checkpoints "
+                             "(serialization overlaps training)")
     parser.add_argument("--start_checkpoint", type=str, default=None)
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
@@ -68,7 +72,8 @@ def main(argv=None):
     train(dataset, opt, pipe, rcfg, args.test_iterations,
           args.save_iterations, args.checkpoint_iterations,
           args.start_checkpoint, network_gui_server=server, quiet=args.quiet,
-          data_parallel=args.data_parallel)
+          data_parallel=args.data_parallel,
+          checkpoint_interval=args.checkpoint_interval)
     print("\nTraining complete.")
 
 

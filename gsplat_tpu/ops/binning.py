@@ -111,12 +111,21 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     # --- expansion (gather-free; see module docstring) ---
     gidx = _expand(jnp.arange(n, dtype=jnp.int32), offsets, m_cap)
     off_e = _expand(offsets, offsets, m_cap)
-    # rect base (tile id of the corner, ≤2^24) and width (≤2^7) share one
-    # cumsum — wraparound-exact packing saves an M-sized pass
-    bw = (y0 * n_tiles_x + x0) * 128 + jnp.maximum(rect_w, 1)
-    bw_e = _expand(bw, offsets, m_cap)
-    base_e = bw_e // 128
-    w_e = bw_e - base_e * 128
+    # rect base (corner tile id) and width share one cumsum — wraparound-
+    # exact packing saves an M-sized pass. The width field must hold
+    # rect_w ∈ [1, n_tiles_x]: size it from the grid (a hardcoded 2^7 would
+    # silently corrupt tile ids for n_tiles_x ≥ 128, e.g. 16px tiles at ≥2K
+    # wide). Packing fits int32 comfortably up to ~8K renders; beyond that
+    # fall back to a second unpacked expansion pass.
+    wmult = 1 << int(n_tiles_x).bit_length()           # wmult > n_tiles_x
+    if (n_tiles - 1) * wmult + n_tiles_x < 2 ** 31:
+        bw = (y0 * n_tiles_x + x0) * wmult + jnp.maximum(rect_w, 1)
+        bw_e = _expand(bw, offsets, m_cap)
+        base_e = bw_e // wmult
+        w_e = bw_e - base_e * wmult
+    else:
+        base_e = _expand(y0 * n_tiles_x + x0, offsets, m_cap)
+        w_e = _expand(jnp.maximum(rect_w, 1), offsets, m_cap)
     # positive f32 ordering == int32 bit-pattern ordering (depth > znear > 0)
     dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
     dkey_e = _expand(dbits, offsets, m_cap)

@@ -79,9 +79,13 @@ def lpips_vgg():
 
     @jax.jit
     def fn(x, y):
-        # scaling layer (richzhang): map [0,1] → [-1,1] then normalize
+        # Input convention parity: the reference's lpipsPyTorch z-scores the
+        # [0,1] image DIRECTLY with the richzhang scaling constants — it
+        # never applies the original repo's [0,1]→[-1,1] mapping
+        # (/root/reference/lpipsPyTorch/modules/networks.py:55-60 z_score on
+        # the tensor metrics.py:31-33 feeds straight from PIL). Matching the
+        # published 3DGS LPIPS numbers requires reproducing that quirk.
         def norm_in(v):
-            v = 2.0 * v - 1.0
             return (v - jnp.asarray(_SHIFT)[None, :, None, None]) / \
                 jnp.asarray(_SCALE)[None, :, None, None]
         fx = _vgg_features(norm_in(x), convs)

@@ -100,10 +100,16 @@ def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
     eff = tile_count if count_clamp is None else \
         jnp.minimum(tile_count, count_clamp)
     cc = _expand(eff, start_chunk, n_chunks)
-    # tail chunks past the last real range → sentinel tile n_tiles
+    # Chunks outside the layout's real extent → sentinel tile n_tiles.
+    # ``tile_start`` may be a slice of a larger global layout with a nonzero
+    # origin (tile-sharded rendering passes each shard's slice of the global
+    # aligned buffer), so the live region is [begin, begin + total), not
+    # [0, total): chunks before ``begin`` belong to other shards' tiles and
+    # must be skipped too, or they'd overwrite tile ct[i]'s (=0's) output.
     used = -(-tile_count // chunk) * chunk
-    total_chunks = (jnp.sum(used) // chunk).astype(jnp.int32)
-    is_tail = ci >= total_chunks
+    begin = start_chunk[0]
+    end = begin + (jnp.sum(used) // chunk).astype(jnp.int32)
+    is_tail = (ci < begin) | (ci >= end)
     ct = jnp.where(is_tail, n_tiles, ct)
     cc = jnp.where(is_tail, 0, cc)
     return ct.astype(jnp.int32), rank0.astype(jnp.int32), cc.astype(jnp.int32)

@@ -65,10 +65,14 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
                         bg_color: jnp.ndarray, cfg: RasterizerConfig,
                         mesh: Mesh, axis: str = "prim", *,
                         antialiasing: bool = False,
-                        m_cap: int | None = None):
+                        m_cap: int | None = None, interpret: bool = False):
     """Render with primitives depth-slab-sharded over mesh[axis].
 
-    Returns (image (3,H,W), invdepth (1,H,W)). The merge itself is exact;
+    Returns (image (3,H,W), invdepth (1,H,W), overflow ()). ``overflow`` is
+    the pmax over chips of dropped pairs: depth slabs can be load-imbalanced
+    against the per-chip m_cap, and a truncated slab's image is garbage by
+    the binning contract — callers must check it and grow-and-retry exactly
+    like the single-chip path. The merge itself is exact;
     the one semantic divergence from the single-chip renderer is the
     early-termination heuristic (T·(1−α) < 1e-4 before committing, CUDA
     parity): each slab starts at local T=1, so far slabs keep compositing
@@ -114,7 +118,7 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
         entries = packed[b.gidx_sorted]
         out = composite_dispatch(
             entries, b.tile_start, b.tile_count, cfg,
-            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y)
+            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, interpret=interpret)
         # ordered segment merge: all_gather (k-major = near-to-far), fold
         seg_a = jax.lax.all_gather(out.accum, axis)       # (n_dev,T,4,P)
         seg_t = jax.lax.all_gather(out.t_final, axis)     # (n_dev,T,P)
@@ -137,4 +141,4 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
     t_img = _tiles_to_image(t_final[:, None, :], n_tiles_y, n_tiles_x,
                             th, tw, H, W)[0]
     image = accum_img[:3] + t_img[None] * bg_color[:, None, None]
-    return jnp.clip(image, 0.0, 1.0), accum_img[3:4]
+    return jnp.clip(image, 0.0, 1.0), accum_img[3:4], overflow

@@ -36,7 +36,7 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
                         bg_color: jnp.ndarray, cfg: RasterizerConfig,
                         mesh: Mesh, axis: str = "tile", *,
                         antialiasing: bool = False,
-                        m_cap: int | None = None):
+                        m_cap: int | None = None, interpret: bool = False):
     """Render with tiles sharded over mesh[axis]. Returns (3,H,W) image
     (replicated via all-gather of tile slices)."""
     W, H = image_width, image_height
@@ -71,7 +71,7 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
         out = composite_dispatch(
             entries, tile_start, tile_count, cfg,
             n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y_pad // n_dev,
-            tile_id_base=base)
+            tile_id_base=base, interpret=interpret)
         return out.accum, out.t_final
 
     accum, t_final = jax.shard_map(

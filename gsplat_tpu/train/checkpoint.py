@@ -91,6 +91,67 @@ def grow_capacity(state: "trainer.TrainState", new_cap: int) -> "trainer.TrainSt
 # path above stays the single-host default; orbax handles NamedSharding'd
 # arrays transparently on pods.
 
+class AsyncCheckpointManager:
+    """Periodic async checkpointing for the train loop (SURVEY.md §5 row 3:
+    "Orbax async checkpointing at intervals"). ``save()`` returns as soon as
+    the on-device state is snapshotted; serialization to disk happens on
+    orbax's background thread, overlapping subsequent train steps. Keeps the
+    newest ``max_to_keep`` steps."""
+
+    def __init__(self, dir_path: str, max_to_keep: int = 3):
+        import os
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(dir_path),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=True))
+
+    def save(self, iteration: int, state: "trainer.TrainState") -> None:
+        self._mngr.save(iteration,
+                        args=self._ocp.args.StandardSave(state))
+
+    def restore(self, template: "trainer.TrainState", iteration: int = -1):
+        """(state, iteration); -1 restores the latest step."""
+        if iteration == -1:
+            iteration = self._mngr.latest_step()
+            if iteration is None:
+                raise FileNotFoundError("no checkpoints in manager dir")
+        state = self._mngr.restore(
+            iteration, args=self._ocp.args.StandardRestore(template))
+        return state, iteration
+
+    def restore_latest(self):
+        """(state, iteration) without a caller-supplied template: a raw
+        restore provides the leaf shapes, from which the TrainState template
+        is rebuilt (capacity / SH degree / image count)."""
+        iteration = self._mngr.latest_step()
+        if iteration is None:
+            raise FileNotFoundError("no checkpoints in manager dir")
+        raw = self._mngr.restore(iteration)
+        cap = raw["gaussians"]["xyz"].shape[0]
+        k_rest = raw["gaussians"]["f_rest"].shape[1]
+        max_deg = int(round((k_rest + 1) ** 0.5)) - 1
+        n_img = raw["exposure"].shape[0]
+        g = gm.empty(cap, max_deg)
+        template = trainer.TrainState(
+            gaussians=g, adam=optim.init(gm.trainables(g)),
+            exposure=jnp.zeros((n_img, 3, 4)),
+            exp_adam=optim.init({"exposure": jnp.zeros((n_img, 3, 4))}),
+            stats=densify_lib.init_stats(cap),
+            step=jnp.zeros((), jnp.int32))
+        state = self._mngr.restore(
+            iteration, args=self._ocp.args.StandardRestore(template))
+        return state, iteration
+
+    def close(self) -> None:
+        """Block until in-flight saves land, then release resources."""
+        self._mngr.wait_until_finished()
+        self._mngr.close()
+
+
 def save_checkpoint_orbax(dir_path: str, state: "trainer.TrainState",
                           iteration: int) -> None:
     """Write <dir_path>/step_<iteration>/ with the full TrainState."""

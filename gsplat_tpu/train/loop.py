@@ -27,6 +27,7 @@ from gsplat_tpu.scene import Scene
 from gsplat_tpu.train import checkpoint as ckpt_lib
 from gsplat_tpu.train import trainer
 from gsplat_tpu.utils.general import Timer
+from gsplat_tpu.utils.telemetry import Telemetry
 
 
 def _round_up(x, m):
@@ -37,7 +38,8 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
           rcfg: RasterizerConfig, testing_iterations, saving_iterations,
           checkpoint_iterations, start_checkpoint: Optional[str] = None,
           network_gui_server=None, quiet: bool = False,
-          capacity_multiplier: float = 4.0, data_parallel: bool = False):
+          capacity_multiplier: float = 4.0, data_parallel: bool = False,
+          checkpoint_interval: int = 0):
     """Run the full optimization. Returns (scene, state)."""
     scene = Scene(dataset, dataset.sh_degree, capacity=0)
     n0 = int(np.asarray(scene.gaussians.num_active()))
@@ -48,7 +50,13 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
     state = trainer.init_state(scene.gaussians, len(train_cams))
     first_iter = 0
     if start_checkpoint:
-        state, first_iter = ckpt_lib.load_checkpoint(start_checkpoint)
+        if os.path.isdir(start_checkpoint):
+            # an async-manager directory (--checkpoint_interval output)
+            mngr = ckpt_lib.AsyncCheckpointManager(start_checkpoint)
+            state, first_iter = mngr.restore_latest()
+            mngr.close()
+        else:
+            state, first_iter = ckpt_lib.load_checkpoint(start_checkpoint)
         print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
 
     bg_color = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
@@ -102,6 +110,15 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
     key = jax.random.PRNGKey(0)
     timer = Timer()
     t_start = time.time()
+    telemetry = Telemetry(scene.model_path)
+    t_iter = time.time()
+    # periodic ASYNC checkpointing (--checkpoint_interval): orbax serializes
+    # on a background thread while training continues; distinct from the
+    # reference-parity synchronous --checkpoint_iterations npz snapshots
+    ckpt_mngr = None
+    if checkpoint_interval > 0:
+        ckpt_mngr = ckpt_lib.AsyncCheckpointManager(
+            os.path.join(scene.model_path, "checkpoints"))
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
         if network_gui_server is not None:
@@ -141,18 +158,57 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             gt_b, am_b, iv_b, dm_b = (
                 jnp.asarray(np.stack([a[i] for a in arrays]))
                 for i in range(4))
-            state, aux = _dp_step_for(W, H)(state, cam_b, gt_b, am_b,
-                                            iv_b, dm_b, bg)
+
+            def run_step(s):
+                return _dp_step_for(W, H)(s, cam_b, gt_b, am_b, iv_b,
+                                          dm_b, bg)
         else:
             gt, amask, inv_gt, dmask = (jnp.asarray(a)
                                         for a in _cam_arrays(cam))
-            state, aux = trainer.train_step(
-                state, cam.view(), gt, amask, inv_gt, dmask, bg,
-                image_width=W, image_height=H, opt=opt, rcfg=rcfg,
-                spatial_lr_scale=spatial_lr_scale,
-                antialiasing=pipe.antialiasing,
-                use_sparse_adam=use_sparse_adam,
-                train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+
+            def run_step(s):
+                return trainer.train_step(
+                    s, cam.view(), gt, amask, inv_gt, dmask, bg,
+                    image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                    spatial_lr_scale=spatial_lr_scale,
+                    antialiasing=pipe.antialiasing,
+                    use_sparse_adam=use_sparse_adam,
+                    train_test_exp=dataset.train_test_exp,
+                    use_depth=use_depth)
+
+        prev_state = state        # for the overflow retry (no donation)
+        state, aux = run_step(state)
+
+        # ---- adaptive pair-list capacity: overflow retry ----
+        # A truncated frame trained on garbage gradients. Grow capacity and
+        # redo the step FROM THE PRE-STEP STATE — params, Adam moments and
+        # the frame's densification stats are all rolled back, then the
+        # retry applies the one true update. Runs before densification so a
+        # densify event never acts on the corrupted stats.
+        if int(aux.overflow) > 0:
+            n_act = max(int(np.asarray(state.gaussians.num_active())), 1)
+            pairs_pg = int(aux.num_pairs) / n_act
+            rcfg = dataclasses.replace(
+                rcfg, pairs_per_gaussian=max(rcfg.pairs_per_gaussian * 2,
+                                             pairs_pg * 1.5))
+            print(f"[iter {iteration}] pair overflow {int(aux.overflow)} — "
+                  f"pairs_per_gaussian → {rcfg.pairs_per_gaussian:.1f}; "
+                  f"retrying frame from pre-step state")
+            if dp_mesh is not None:
+                dp_steps.clear()   # step fns bake rcfg into their closures
+            state, aux = run_step(prev_state)
+
+        # ---- --debug failure snapshot (reference README:156-159) ----
+        loss_now = float(aux.loss)
+        if pipe.debug and not math.isfinite(loss_now):
+            from gsplat_tpu.utils.debug import dump_snapshot
+            path = os.path.join(scene.model_path or ".",
+                                f"snapshot_iter{iteration}.npz")
+            dump_snapshot(path, prev_state, cam.view(), _cam_arrays(cam),
+                          iteration, reason=f"non-finite loss {loss_now}")
+            raise FloatingPointError(
+                f"[iter {iteration}] non-finite loss {loss_now}; step inputs "
+                f"dumped to {path} (replay with tools/debug_nan.py)")
 
         # ---- host-side densification orchestration (train.py:163-174) ----
         if iteration < opt.densify_until_iter:
@@ -180,38 +236,27 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         ema_loss = 0.4 * loss_f + 0.6 * ema_loss
         ema_depth = 0.4 * depth_f + 0.6 * ema_depth
 
-        # ---- adaptive pair-list capacity ----
+        # scalar telemetry (reference training_report, train.py:206-212)
+        now = time.time()
+        telemetry.scalars(
+            iteration,
+            **{"train_loss_patches/l1_loss": float(aux.l1),
+               "train_loss_patches/total_loss": loss_f,
+               "train_loss_patches/depth_l1": depth_f,
+               "iter_time": now - t_iter,
+               "total_points": int(np.asarray(state.gaussians.num_active())),
+               "num_pairs": int(aux.num_pairs)})
+        t_iter = now
+
+        # ---- adaptive pair-list capacity: shrink when over-provisioned ----
         # Every binning pass (sort/cumsum/scatter) costs proportionally to
         # the STATIC m_cap, so track the real pair count and keep capacity
-        # ~1.5x above it: grow (and retrain the truncated frame) on
-        # overflow, shrink when persistently over-provisioned. Each change
-        # is one re-jit — rare after warm-up.
+        # ~1.5x above it. Each change is one re-jit — rare after warm-up.
         n_act = max(int(np.asarray(state.gaussians.num_active())), 1)
         pairs_pg = int(aux.num_pairs) / n_act
         pair_ema = pairs_pg if pair_ema is None else \
             0.1 * pairs_pg + 0.9 * pair_ema
-        if int(aux.overflow) > 0:
-            rcfg = dataclasses.replace(
-                rcfg, pairs_per_gaussian=max(rcfg.pairs_per_gaussian * 2,
-                                             pairs_pg * 1.5))
-            print(f"[iter {iteration}] pair overflow {int(aux.overflow)} — "
-                  f"pairs_per_gaussian → {rcfg.pairs_per_gaussian:.1f}; "
-                  f"retrying frame")
-            # the truncated frame trained on garbage gradients; redo it
-            # (the grown capacity is a new static shape → fresh jit)
-            if dp_mesh is not None:
-                dp_steps.clear()
-                state, aux = _dp_step_for(W, H)(state, cam_b, gt_b, am_b,
-                                                iv_b, dm_b, bg)
-            else:
-                state, aux = trainer.train_step(
-                    state, cam.view(), gt, amask, inv_gt, dmask, bg,
-                    image_width=W, image_height=H, opt=opt, rcfg=rcfg,
-                    spatial_lr_scale=spatial_lr_scale,
-                    antialiasing=pipe.antialiasing,
-                    use_sparse_adam=use_sparse_adam,
-                    train_test_exp=dataset.train_test_exp, use_depth=use_depth)
-        elif (iteration % 500 == 0
+        if (iteration % 500 == 0
               and rcfg.pairs_per_gaussian > 4.0
               and rcfg.pairs_per_gaussian > 2.5 * pair_ema):
             new_ppg = max(pair_ema * 1.5, 4.0)
@@ -228,7 +273,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
 
         if iteration in testing_iterations:
             report_eval(scene, state, rcfg, pipe, bg_color, iteration,
-                        dataset.train_test_exp)
+                        dataset.train_test_exp, telemetry=telemetry)
         if iteration in saving_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
             scene.gaussians = state.gaussians
@@ -239,13 +284,18 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             ckpt_lib.save_checkpoint(
                 os.path.join(scene.model_path, f"chkpnt{iteration}.npz"),
                 state, iteration)
+        if ckpt_mngr is not None and iteration % checkpoint_interval == 0:
+            ckpt_mngr.save(iteration, state)
 
     scene.gaussians = state.gaussians
+    telemetry.close()
+    if ckpt_mngr is not None:
+        ckpt_mngr.close()
     return scene, state
 
 
 def report_eval(scene, state, rcfg, pipe, bg_color, iteration,
-                train_test_exp=False):
+                train_test_exp=False, telemetry=None):
     """Parity: reference training_report (train.py:214-252)."""
     configs = [("test", scene.getTestCameras()),
                ("train", [scene.getTrainCameras()[idx % len(scene.getTrainCameras())]
@@ -266,3 +316,9 @@ def report_eval(scene, state, rcfg, pipe, bg_color, iteration,
             psnr_sum += float(losses.psnr(img[None], gt[None]).mean())
         print(f"\n[ITER {iteration}] Evaluating {name}: "
               f"L1 {l1_sum / len(cams):.6f} PSNR {psnr_sum / len(cams):.3f}")
+        if telemetry is not None:
+            telemetry.scalars(iteration,
+                              **{f"{name}/loss_viewpoint - l1_loss":
+                                 l1_sum / len(cams),
+                                 f"{name}/loss_viewpoint - psnr":
+                                 psnr_sum / len(cams)})

@@ -99,8 +99,16 @@ def camera_loss_grads(g: gm.GaussianParams, exposure_all, cam: CameraView,
 
     def loss_fn(trainables, exposure_all, tap):
         params = gm.with_trainables(g, trainables)
-        exposure = (exposure_all[jnp.maximum(cam.exposure_idx, 0)]
-                    if train_test_exp else None)
+        # Cameras without an exposure mapping (exposure_idx −1: test views,
+        # scene/__init__.py) get the identity affine — i.e. no exposure —
+        # matching the reference, which only ever looks up exposures for
+        # mapped train images (gaussian_renderer/__init__.py:113-115).
+        exposure = None
+        if train_test_exp:
+            exposure = jnp.where(
+                cam.exposure_idx >= 0,
+                exposure_all[jnp.maximum(cam.exposure_idx, 0)],
+                jnp.eye(3, 4, dtype=exposure_all.dtype))
         out = render(params, cam, image_width, image_height, bg_color, rcfg,
                      antialiasing=antialiasing, mean2d_tap=tap,
                      exposure=exposure)

@@ -1,0 +1,111 @@
+"""LPIPS numeric validation against a torch oracle with SHARED random
+weights.
+
+The reference computes LPIPS-VGG via lpipsPyTorch
+(/root/reference/lpipsPyTorch/modules/{lpips,networks}.py, used by
+metrics.py:74). Pretrained weights are not downloadable in this
+environment, so the oracle here replicates the reference's exact math in
+torch — z-score on the [0,1] input (networks.py:55-60), VGG16-features
+forward with taps at relu{1_2,2_2,3_3,4_3,5_3} (networks.py target_layers
+[4,9,16,23,30]), unit-normalized activations (utils.normalize_activation),
+1x1 no-bias linear heads, spatial mean then sum (lpips.py:33-36) — with
+randomly initialized conv/lin weights shared bit-for-bit with our JAX
+implementation. Agreement at 1e-5 validates everything except the
+downloaded weight values themselves.
+"""
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# VGG16 "D" feature config: (channels, convs per block)
+_CFG = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _random_weights(rng):
+    convs = []
+    c_in = 3
+    for c_out, reps in _CFG:
+        for _ in range(reps):
+            w = rng.standard_normal((c_out, c_in, 3, 3)).astype(np.float32)
+            w *= np.sqrt(2.0 / (c_in * 9))
+            b = 0.1 * rng.standard_normal(c_out).astype(np.float32)
+            convs.append((w, b))
+            c_in = c_out
+    lins = [np.abs(rng.standard_normal(c).astype(np.float32)) * 0.05
+            for c, _ in _CFG]
+    return convs, lins
+
+
+def _torch_oracle(x, y, convs, lins):
+    """Reference math (lpipsPyTorch) with explicit weights."""
+    import torch.nn.functional as F
+
+    def z_score(v):
+        return (v - torch.tensor(_SHIFT)[None, :, None, None]) / \
+            torch.tensor(_SCALE)[None, :, None, None]
+
+    def features(v):
+        h = z_score(v)
+        taps = []
+        i = 0
+        for b, (_, reps) in enumerate(_CFG):
+            for _ in range(reps):
+                w, bias = convs[i]
+                h = F.relu(F.conv2d(h, torch.tensor(w), torch.tensor(bias),
+                                    padding=1))
+                i += 1
+            # normalize_activation (lpipsPyTorch/modules/utils.py)
+            nf = torch.sqrt(torch.sum(h ** 2, dim=1, keepdim=True))
+            taps.append(h / (nf + 1e-10))
+            if b < len(_CFG) - 1:
+                h = F.max_pool2d(h, 2, 2)
+        return taps
+
+    fx, fy = features(x), features(y)
+    total = torch.zeros(())
+    for tx, ty, lin in zip(fx, fy, lins):
+        d = (tx - ty) ** 2
+        w = torch.tensor(lin)[None, :, None, None]
+        total = total + torch.sum(d * w, dim=1, keepdim=True).mean((2, 3))[0, 0]
+    return float(total)
+
+
+def test_lpips_matches_torch_oracle(rng, tmp_path):
+    convs, lins = _random_weights(rng)
+    npz = {}
+    for i, (w, b) in enumerate(convs):
+        npz[f"conv{i}_w"] = w
+        npz[f"conv{i}_b"] = b
+    for j, lin in enumerate(lins):
+        npz[f"lin{j}"] = lin
+    path = tmp_path / "lpips_test_weights.npz"
+    np.savez(path, **npz)
+
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.standard_normal(x.shape).astype(np.float32),
+                0, 1)
+
+    expected = _torch_oracle(torch.tensor(x), torch.tensor(y), convs, lins)
+
+    os.environ["GSPLAT_LPIPS_WEIGHTS"] = str(path)
+    try:
+        from gsplat_tpu.ops.lpips import lpips_vgg
+        got = float(lpips_vgg()(x, y))
+    finally:
+        del os.environ["GSPLAT_LPIPS_WEIGHTS"]
+
+    assert got == pytest.approx(expected, rel=1e-5, abs=1e-6), \
+        f"LPIPS mismatch: jax {got} vs torch oracle {expected}"
+    # identical inputs → zero distance
+    os.environ["GSPLAT_LPIPS_WEIGHTS"] = str(path)
+    try:
+        from gsplat_tpu.ops.lpips import lpips_vgg
+        self_d = float(lpips_vgg()(x, x))
+    finally:
+        del os.environ["GSPLAT_LPIPS_WEIGHTS"]
+    assert abs(self_d) < 1e-7

@@ -43,6 +43,50 @@ def test_tile_sharded_render_matches_single(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_chunk_tables_offset_layout():
+    """chunk_tables with a nonzero layout origin (a tile-shard's slice of the
+    global aligned buffer): chunks before the slice and past its end must map
+    to the sentinel tile; chunks inside must map to their real tiles.
+    Regression for the round-1 bug where is_tail compared against the chunk
+    COUNT instead of the layout end, silently blanking every shard but the
+    first on the Pallas path."""
+    from gsplat_tpu.ops.pallas.composite import chunk_tables
+    chunk = 16
+    # shard owns 3 tiles with counts 5, 0, 40 laid out from entry 64
+    tile_start = jnp.asarray([64, 80, 80], jnp.int32)
+    tile_count = jnp.asarray([5, 0, 40], jnp.int32)
+    n_chunks = 12    # full replicated buffer: 192 entries
+    ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=3,
+                                  chunk=chunk, n_chunks=n_chunks)
+    ct, rank0, cnt = map(np.asarray, (ct, rank0, cnt))
+    # chunks 0-3 precede the slice; chunks 8-11 are past its end
+    np.testing.assert_array_equal(ct[:4], [3, 3, 3, 3])
+    np.testing.assert_array_equal(cnt[:4], 0)
+    np.testing.assert_array_equal(ct[8:], [3, 3, 3, 3])
+    np.testing.assert_array_equal(cnt[8:], 0)
+    # chunk 4 = tile 0 (5 entries); chunks 5-7 = tile 2 (40 entries)
+    np.testing.assert_array_equal(ct[4:8], [0, 2, 2, 2])
+    np.testing.assert_array_equal(cnt[4:8], [5, 40, 40, 40])
+    np.testing.assert_array_equal(rank0[4:8], [0, 0, 16, 32])
+
+
+def test_tile_sharded_render_matches_single_pallas(rng):
+    """The same equivalence through the PALLAS compositor (interpret mode):
+    every shard passes its slice of the GLOBAL tile layout, which is the
+    offset-origin case of chunk_tables above."""
+    W, H = TILE_W, 8 * TILE_H
+    g, cam = make_scene(rng, n=300)
+    rcfg = cfg(use_pallas=True)
+    mesh = make_mesh((("tile", N_DEV),))
+    img_s, invd_s = jax.jit(lambda g_, c_: tile_shard.render_tile_sharded(
+        g_, c_, W, H, jnp.full(3, 0.3), rcfg, mesh, interpret=True))(g, cam)
+    out = render(g, cam, W, H, jnp.full(3, 0.3), cfg(), interpret=True)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(out.image),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(invd_s), np.asarray(out.invdepth),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_dp_step_matches_grad_average(rng):
     """One DP step over 8 identical cameras == single-camera step (the
     psum-mean of identical grads is the same grad)."""
@@ -122,8 +166,13 @@ def test_prim_sharded_render_matches_single(rng):
     g, cam = make_scene(rng, n=400)
     rcfg = cfg()
     mesh = make_mesh((("prim", N_DEV),))
-    img_s, invd_s = jax.jit(lambda g_, c_: prim_shard.render_prim_sharded(
-        g_, c_, W, H, jnp.full(3, 0.25), rcfg, mesh))(g, cam)
+    # depth slabs are load-imbalanced: the default per-chip m_cap (total/8)
+    # truncates the densest slab here — exactly what the overflow output
+    # exists to surface. Give each chip half the total capacity instead.
+    img_s, invd_s, ovf = jax.jit(lambda g_, c_: prim_shard.render_prim_sharded(
+        g_, c_, W, H, jnp.full(3, 0.25), rcfg, mesh,
+        m_cap=int(g.capacity * 24 / 2)))(g, cam)
+    assert int(ovf) == 0
     out = render(g, cam, W, H, jnp.full(3, 0.25), rcfg)
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(out.image),
                                rtol=0, atol=2.5e-2)
@@ -149,7 +198,8 @@ def test_prim_sharded_grads_match_single(rng):
 
     def loss_sharded(xyz):
         g2 = dataclasses.replace(g, xyz=xyz)
-        img, _ = prim_shard.render_prim_sharded(g2, cam, W, H, bg, rcfg, mesh)
+        img, _, _ = prim_shard.render_prim_sharded(g2, cam, W, H, bg, rcfg,
+                                                   mesh)
         return jnp.sum(img ** 2)
 
     def loss_single(xyz):

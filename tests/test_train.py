@@ -229,3 +229,33 @@ def test_checkpoint_roundtrip_npz_and_orbax(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(state3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_manager_roundtrip(tmp_path, rng):
+    """Async manager: periodic save overlaps training; restore_latest
+    rebuilds the template from the stored shapes (mid-train resume path,
+    loop.py --checkpoint_interval)."""
+    from gsplat_tpu.models import gaussian_model as gm
+    from gsplat_tpu.train import checkpoint as ckpt
+    from gsplat_tpu.train import trainer
+
+    pts = rng.standard_normal((40, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+    g = gm.create_from_pcd(pts, cols, 2, capacity=64)
+    state = trainer.init_state(g, 3)
+    state = dataclasses.replace(state, step=jnp.asarray(7, jnp.int32))
+
+    d = str(tmp_path / "mngr")
+    mngr = ckpt.AsyncCheckpointManager(d, max_to_keep=2)
+    mngr.save(100, state)
+    state2 = dataclasses.replace(state, step=jnp.asarray(200, jnp.int32))
+    mngr.save(200, state2)
+    mngr.close()
+
+    mngr2 = ckpt.AsyncCheckpointManager(d)
+    restored, it = mngr2.restore_latest()
+    mngr2.close()
+    assert it == 200
+    for a, b in zip(jax.tree_util.tree_leaves(state2),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

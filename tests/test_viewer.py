@@ -14,6 +14,15 @@ import numpy as np
 from tests.test_rasterize import make_scene, cfg
 
 
+def _recv_exact(s, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = s.recv(n - len(buf))
+        assert chunk, "connection closed early"
+        buf += chunk
+    return buf
+
+
 def _client(port, W, H, result):
     # long timeout: the first render() compile on CPU dominates
     s = socket.create_connection(("127.0.0.1", port), timeout=240)
@@ -23,7 +32,7 @@ def _client(port, W, H, result):
     view[:, 2] *= -1
     proj = np.eye(4, dtype=np.float32)
     proj[:, 1] *= -1
-    msg = {
+    base = {
         "resolution_x": W, "resolution_y": H, "train": False,
         "fov_y": 0.7, "fov_x": 0.9, "z_near": 0.01, "z_far": 100.0,
         "shs_python": False, "rot_scale_python": False, "keep_alive": False,
@@ -31,19 +40,18 @@ def _client(port, W, H, result):
         "view_matrix": view.flatten().tolist(),
         "view_projection_matrix": proj.flatten().tolist(),
     }
-    payload = json.dumps(msg).encode()
-    s.sendall(len(payload).to_bytes(4, "little"))
-    s.sendall(payload)
-    img = b""
-    want = W * H * 3
-    while len(img) < want:
-        chunk = s.recv(want - len(img))
-        assert chunk, "connection closed early"
-        img += chunk
-    n = int.from_bytes(s.recv(4), "little")
-    path = s.recv(n).decode("ascii") if n else ""
-    result["img"] = np.frombuffer(img, np.uint8).reshape(H, W, 3)
-    result["path"] = path
+    # request 1: kernel paths; request 2: both live python-path toggles on
+    # (reference train.py:79 applies them per request)
+    for tag, over in (("img", {}),
+                      ("img_py", {"shs_python": True,
+                                  "rot_scale_python": True})):
+        payload = json.dumps({**base, **over}).encode()
+        s.sendall(len(payload).to_bytes(4, "little"))
+        s.sendall(payload)
+        img = _recv_exact(s, W * H * 3)
+        n = int.from_bytes(_recv_exact(s, 4), "little")
+        result["path"] = _recv_exact(s, n).decode("ascii") if n else ""
+        result[tag] = np.frombuffer(img, np.uint8).reshape(H, W, 3)
     s.close()
 
 
@@ -70,6 +78,17 @@ def test_network_gui_roundtrip(rng):
         server.poll(state, object(), PipelineConfig(), rcfg,
                     np.zeros(3, np.float32), iteration=1, max_iterations=10)
         time.sleep(0.01)
+    deadline = time.time() + 240
+    while "img_py" not in result and time.time() < deadline:
+        server.poll(state, object(), PipelineConfig(), rcfg,
+                    np.zeros(3, np.float32), iteration=1, max_iterations=10)
+        time.sleep(0.01)
     t.join(timeout=10)
     assert "img" in result, "no image received over the bridge"
     assert result["img"].shape == (H, W, 3)
+    # the python paths compute the same SH colors / covariances through the
+    # override plumbing — the served frame must match the kernel-path frame
+    # (uint8 quantization allows off-by-one)
+    assert "img_py" in result, "python-path request not served"
+    diff = np.abs(result["img"].astype(int) - result["img_py"].astype(int))
+    assert diff.max() <= 1, f"python-path frame diverged (max diff {diff.max()})"
