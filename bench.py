@@ -55,8 +55,11 @@ def main():
     cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
 
     opt = OptimizationConfig()
-    # headroom so the pair list never truncates (overflow would flatter
-    # the numbers); the run asserts overflow == 0 below
+    # generous first-guess headroom; right-sized below from the measured
+    # pair count, exactly like the trainer's adaptive capacity policy
+    # (train/loop.py grows on overflow and shrinks toward ~1.3-1.5x the
+    # running pair count — every binning/sort/gather/reduction pass costs
+    # proportionally to this STATIC capacity)
     rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0)
     state = trainer.init_state(g, 1)
 
@@ -72,12 +75,19 @@ def main():
             spatial_lr_scale=1.0, antialiasing=False, use_sparse_adam=False,
             train_test_exp=False, use_depth=False)
 
-    # warmup/compile
+    # warmup/compile, then right-size the pair capacity (one re-jit — the
+    # steady state a real training run reaches via the adaptive policy)
+    state0 = state
     state, aux = step(state)
     jax.block_until_ready(state.gaussians.xyz)
     assert int(aux.overflow) == 0, (
         f"pair list truncated ({int(aux.overflow)} dropped, "
         f"{int(aux.num_pairs)} pairs) — raise pairs_per_gaussian")
+    ppg = max(int(aux.num_pairs) * 1.3 / n, 2.0)
+    rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=ppg)
+    state, aux = step(state0)
+    jax.block_until_ready(state.gaussians.xyz)
+    assert int(aux.overflow) == 0
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()

@@ -14,16 +14,27 @@ TPU-native replacement for the reference rasterizer's cub pipeline
   sums), with f32 depth carried through its monotone int32 bit pattern.
 
 Pipeline:
-1. per-gaussian rects → counts/offsets (N-sized),
+1. per-gaussian rects → counts/offsets (N-sized). With ``sort_gaussians``
+   the gaussians are first depth-sorted (an N-sized sort, ~100× smaller
+   than the entry list), so the per-entry depth key IS the gaussian index —
+   one whole M-sized expansion disappears and the entry sort runs on a
+   single packed (tile‖gidx) key instead of two keys + two payloads.
 2. expansion: marker-scatter + cumsum yields the entry→gaussian map and the
-   per-entry rect parameters; tile id and depth key are computed pointwise,
+   per-entry rect parameters; tile id (and depth key, when not pre-sorted)
+   are computed pointwise,
 3. per-tile counts via a 4-corner summed-area scatter over the tile grid
    (each rect contributes ±1 at its corners; 2D cumsum = histogram),
-4. one ``lax.sort`` with (tile, depth-bits) keys — exact depth ordering,
+4. one ``lax.sort`` — exact depth ordering,
 5. align: sorted entry p moves to padded_start[tile] + rank, where the shift
    is itself expanded by a diff-scatter + cumsum — one collision-free
    permutation scatter lands the chunk-aligned layout the Pallas kernels
    require (per-tile ranges start and end on chunk boundaries).
+
+Rect extents: callers may pass tight per-axis half-widths (rx, ry) from
+preprocess — the AABB of the {alpha ≥ alpha_min} level set — instead of the
+reference's circumscribed 3σ radius. Every pair dropped that way is zeroed
+by the compositor's own alpha_min cut, so the rendered image is unchanged
+while anisotropic / low-opacity splats generate far fewer pairs.
 
 Overflow beyond m_cap is counted and surfaced so the host can double
 capacity and re-jit. An overflowing frame's per-tile ranges are clamped to
@@ -49,20 +60,25 @@ class Binning(NamedTuple):
     inv_src: Optional[jnp.ndarray] = None     # (M_cap,) presort → aligned idx
     g_offsets: Optional[jnp.ndarray] = None   # (N,) presort start per gaussian
     g_counts: Optional[jnp.ndarray] = None    # (N,) entries per gaussian
+    # sort_gaussians extra: depth order of the gaussians. gidx_sorted,
+    # g_offsets and g_counts index THIS order — callers address per-gaussian
+    # tables as table[perm] (rasterize.py does packed[perm]).
+    perm: Optional[jnp.ndarray] = None        # (N,) int32
 
 
-def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
+def tile_rect(mean2d: jnp.ndarray, rx: jnp.ndarray, ry: jnp.ndarray,
               n_tiles_x: int, n_tiles_y: int, tile_h: int, tile_w: int):
     """Inclusive-exclusive tile rectangle [x0,x1)×[y0,y1) covered by each
-    Gaussian's radius. CUDA getRect parity (BLOCK → our tile_h/tile_w).
-    floor() handles negative coordinates (int cast truncates toward 0)."""
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_w),
+    Gaussian's per-axis extents. CUDA getRect parity (with rx = ry = radius
+    it reproduces the reference's square rect). floor() handles negative
+    coordinates (int cast truncates toward 0)."""
+    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - rx) / tile_w),
                   0, n_tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_h),
+    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - ry) / tile_h),
                   0, n_tiles_y).astype(jnp.int32)
-    x1 = jnp.clip((mean2d[:, 0] + radius + tile_w - 1) // tile_w,
+    x1 = jnp.clip((mean2d[:, 0] + rx + tile_w - 1) // tile_w,
                   0, n_tiles_x).astype(jnp.int32)
-    y1 = jnp.clip((mean2d[:, 1] + radius + tile_h - 1) // tile_h,
+    y1 = jnp.clip((mean2d[:, 1] + ry + tile_h - 1) // tile_h,
                   0, n_tiles_y).astype(jnp.int32)
     return x0, y0, x1, y1
 
@@ -81,7 +97,10 @@ def _expand(values: jnp.ndarray, offsets: jnp.ndarray, m: int) -> jnp.ndarray:
 def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                   *, image_width: int, image_height: int,
                   tile_h: int, tile_w: int, m_cap: int,
-                  align: int = 1) -> Binning:
+                  align: int = 1,
+                  rx: jnp.ndarray | None = None,
+                  ry: jnp.ndarray | None = None,
+                  sort_gaussians: bool = False) -> Binning:
     """Build the sorted (tile ‖ depth)-ordered entry list.
 
     All inputs should be stop-gradiented by the caller — ordering is not
@@ -92,17 +111,38 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     The Pallas kernels require align == chunk: per-chunk DMAs then always
     start 128-lane-aligned and per-tile gradient writes never touch another
     tile's rows. Output arrays have static length m_cap + align·n_tiles.
+
+    With ``sort_gaussians`` the per-entry depth key is replaced by the
+    gaussian's depth rank (see module docstring); the returned ``perm``
+    defines the gaussian order every per-gaussian output refers to.
     """
     n = mean2d.shape[0]
     n_tiles_x = -(-image_width // tile_w)
     n_tiles_y = -(-image_height // tile_h)
     n_tiles = n_tiles_x * n_tiles_y
 
-    x0, y0, x1, y1 = tile_rect(mean2d, radius, n_tiles_x, n_tiles_y,
+    if rx is None:
+        rx = radius
+    if ry is None:
+        ry = radius
+
+    perm = None
+    if sort_gaussians:
+        # N-sized depth sort; every per-gaussian array below is then in
+        # depth order and gidx doubles as the depth key.
+        _, perm = jax.lax.sort(
+            (depth, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        mean2d = mean2d[perm]
+        radius = radius[perm]
+        rx = rx[perm]
+        ry = ry[perm]
+
+    x0, y0, x1, y1 = tile_rect(mean2d, rx, ry, n_tiles_x, n_tiles_y,
                                tile_h, tile_w)
     rect_w = jnp.maximum(x1 - x0, 0)
     rect_h = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(radius > 0, rect_w * rect_h, 0).astype(jnp.int32)
+    valid_g = (radius > 0) & (rx > 0) & (ry > 0)
+    counts = jnp.where(valid_g, rect_w * rect_h, 0).astype(jnp.int32)
 
     offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)  # exclusive
     total = offsets[-1] + counts[-1]
@@ -126,16 +166,12 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     else:
         base_e = _expand(y0 * n_tiles_x + x0, offsets, m_cap)
         w_e = _expand(jnp.maximum(rect_w, 1), offsets, m_cap)
-    # positive f32 ordering == int32 bit-pattern ordering (depth > znear > 0)
-    dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
-    dkey_e = _expand(dbits, offsets, m_cap)
 
     e_idx = jnp.arange(m_cap, dtype=jnp.int32)
     valid = e_idx < total
     k = e_idx - off_e                                  # rank inside the rect
     tile = base_e + (k // w_e) * n_tiles_x + k % w_e
     tile = jnp.where(valid, tile, n_tiles)
-    dkey = jnp.where(valid, dkey_e, jnp.iinfo(jnp.int32).max)
     gidx = jnp.where(valid, gidx, n)                   # sentinel gaussian
 
     # --- per-tile histogram: 4-corner summed-area scatter (N-sized) ---
@@ -152,8 +188,25 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     tile_count = jnp.minimum(tile_count, m_cap)
     tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
-    tile_s, _, gidx_s, e_s = jax.lax.sort((tile, dkey, gidx, e_idx),
-                                          num_keys=2)
+    # --- the entry sort ---
+    if sort_gaussians:
+        gbits = int(n).bit_length()                    # holds sentinel n too
+        if ((n_tiles << gbits) | n) < 2 ** 31:
+            # single packed key (tile ‖ depth-rank): 2 arrays instead of 4
+            key = (tile << gbits) | gidx
+            key_s, e_s = jax.lax.sort((key, e_idx), num_keys=1)
+            tile_s = key_s >> gbits
+            gidx_s = key_s & ((1 << gbits) - 1)
+        else:
+            tile_s, gidx_s, e_s = jax.lax.sort((tile, gidx, e_idx),
+                                               num_keys=2)
+    else:
+        # positive f32 ordering == int32 bit-pattern ordering (depth > 0)
+        dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+        dkey_e = _expand(dbits, offsets, m_cap)
+        dkey = jnp.where(valid, dkey_e, jnp.iinfo(jnp.int32).max)
+        tile_s, _, gidx_s, e_s = jax.lax.sort((tile, dkey, gidx, e_idx),
+                                              num_keys=2)
 
     if align > 1:
         padded_count = -(-tile_count // align) * align
@@ -181,8 +234,8 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                        tile_start=padded_start, tile_count=tile_count,
                        num_pairs=total, overflow=overflow,
                        inv_src=inv_src, g_offsets=offsets,
-                       g_counts=counts)
+                       g_counts=counts, perm=perm)
 
     return Binning(gidx_sorted=gidx_s, tile_sorted=tile_s,
                    tile_start=tile_start, tile_count=tile_count,
-                   num_pairs=total, overflow=overflow)
+                   num_pairs=total, overflow=overflow, perm=perm)

@@ -30,7 +30,8 @@ def composite_naive(pre: Preprocessed, *, image_width: int, image_height: int,
     color = jnp.concatenate([pre.color, pre.invdepth[:, None]], -1)[order]
     opacity = pre.opacity[order]
     radius = pre.radius[order]
-    x0, y0, x1, y1 = tile_rect(mean2d, radius, n_tiles_x, n_tiles_y, tile_h, tile_w)
+    x0, y0, x1, y1 = tile_rect(mean2d, radius, radius, n_tiles_x, n_tiles_y,
+                               tile_h, tile_w)
 
     px = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
     py = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)

@@ -4,33 +4,35 @@ TPU-native re-design of the reference CUDA *render* kernel pair
 (diff-gaussian-rasterization forward.cu/backward.cu, reconstructed in
 SURVEY.md §2.2). Layout decisions, driven by TPU hardware:
 
-- The grid iterates over **entry chunks** (G=128 gaussians each), not tiles:
-  chunk i streams block i of the depth-sorted entry list (stored transposed
-  (16, M) in HBM, so each block is a (16, 128)-shaped, lane-aligned copy)
-  through Mosaic's automatic input pipeline — double-buffered DMA with zero
-  manual semaphore code. A scalar-prefetched table maps chunk → tile; the
-  per-tile output blocks (accumulated color, transmittance, last
-  contributor) use that table in their index_map, so a tile's state stays
-  resident in VMEM across its consecutive chunks and is written back once.
-- Per-chunk working set is (P, G) with **pixels on sublanes** and
-  **gaussians on lanes** (P = tile pixels, G = 128 lanes): every elementwise
-  pass is a dense VPU op and the transmittance scan is one MXU op.
-- Front-to-back transmittance inside a chunk is computed in log space with a
-  single (P,G)×(G,G) upper-triangular matmul — the vector-parallel
+- The grid iterates over **entry chunks** (G gaussians each), not tiles:
+  chunk i streams block i of the depth-sorted entry list through Mosaic's
+  automatic input pipeline — double-buffered DMA with zero manual semaphore
+  code. A scalar-prefetched table maps chunk → tile; the per-tile output
+  blocks (accumulated color, transmittance, last contributor) use that
+  table in their index_map, so a tile's state stays resident in VMEM across
+  its consecutive chunks and is written back once.
+- Per-chunk working set is (G, P) with **gaussians on sublanes** and
+  **pixels on lanes** (P = tile pixels, a multiple of 128). This matches
+  the (M, 16) row-major entry buffer exactly: input blocks are (G, 16)
+  row slices and backward gradient blocks are (G, 16) row slices — neither
+  direction needs the ~8.5 ms (16,M)↔(M,16) HBM transpose the previous
+  pixels-on-sublanes layout paid on both sides of the kernel.
+- Front-to-back transmittance inside a chunk is computed in log space with
+  a single (G,G)×(G,P) strict-lower-triangular matmul — the vector-parallel
   equivalent of CUDA's sequential per-thread ``T *= (1-alpha)`` loop. The
   early-termination cut (T·(1−α) < 1e-4 checked *before* committing, CUDA
-  parity) reduces to a per-pixel min over crossing lanes — no second matmul.
+  parity) reduces to a per-pixel min over crossing sublanes.
 - Per-tile ranges are pre-aligned to G (ops/binning.py align=chunk): chunk
   blocks never straddle tiles and backward gradient writes are
   collision-free by construction.
 - Backward re-walks the chunks front-to-back (recompute strategy, like the
   CUDA backward) using the saved final transmittance + last-contributor
   index; per-entry gradients stream out through the same block pipeline
-  (every block is written — no uninitialized rows) and the XLA-level gather
-  transpose accumulates them onto the N Gaussians.
+  (every block is written — no uninitialized rows) and the gather-VJP
+  reduction accumulates them onto the N Gaussians.
 
-Entry row layout (matches ops/rasterize.pack_entries, transposed here):
-  row 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6..8 rgb,
+Entry column layout (matches ops/rasterize.pack_entries):
+  col 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6..8 rgb,
   9 invdepth, 10..15 pad.
 """
 from __future__ import annotations
@@ -46,30 +48,30 @@ from jax.experimental.pallas import tpu as pltpu
 from gsplat_tpu.ops.composite_ref import CompositeOut
 
 
-def _tri_upper(G: int, strict: bool, dtype=jnp.float32):
-    """U[k, j] = 1 where k < j (strict) or k <= j: (P,G) @ U = prefix sums
-    along the lane (gaussian) axis."""
+def _tri_lower(G: int, strict: bool, dtype=jnp.float32):
+    """L[g, k] = 1 where k < g (strict) or k <= g: L @ (G,P) = prefix sums
+    down the sublane (gaussian) axis."""
     r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return ((r < c) if strict else (r <= c)).astype(dtype)
+    return ((c < r) if strict else (c <= r)).astype(dtype)
 
 
 def _pixel_coords(t, n_tiles_x: int, tile_h: int, tile_w: int):
-    """(P,1) pixel centers for tile t (row-major pixels within the tile)."""
+    """(1,P) pixel centers for tile t (row-major pixels within the tile)."""
     P = tile_h * tile_w
     ox = (t % n_tiles_x) * tile_w
     oy = (t // n_tiles_x) * tile_h
-    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (ox + p % tile_w).astype(jnp.float32)
     py = (oy + p // tile_w).astype(jnp.float32)
     return px, py
 
 
 def _alpha_terms(data, px, py):
-    """data (16,G) chunk; px/py (P,1) → dx, dy, power, alpha_raw (P,G)."""
-    mx, my = data[0:1, :], data[1:2, :]
-    ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
-    op = data[5:6, :]
+    """data (G,16) chunk; px/py (1,P) → dx, dy, power, alpha_raw (G,P)."""
+    mx, my = data[:, 0:1], data[:, 1:2]
+    ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
+    op = data[:, 5:6]
     dx = px - mx
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -129,66 +131,66 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 
     @pl.when(rank0 == 0)
     def _init():
-        accum_ref[0] = jnp.zeros((P, 4), jnp.float32)
-        tfinal_ref[0] = jnp.ones((P, 1), jnp.float32)
-        nc_ref[0] = jnp.zeros((P, 1), jnp.int32)
-        st_t[:] = jnp.ones((P, 1), jnp.float32)
-        st_done[:] = jnp.zeros((P, 1), jnp.float32)
+        accum_ref[0] = jnp.zeros((4, P), jnp.float32)
+        tfinal_ref[0] = jnp.ones((1, P), jnp.float32)
+        nc_ref[0] = jnp.zeros((1, P), jnp.int32)
+        st_t[:] = jnp.ones((1, P), jnp.float32)
+        st_done[:] = jnp.zeros((1, P), jnp.float32)
 
     live = jnp.logical_and(rank0 < count, st_done[0, 0] < 2.0)
 
     @pl.when(live)
     def _step():
         px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-        data = entries_ref[:]                                 # (16,G)
-        tcur = st_t[:]                                        # (P,1)
-        done = st_done[:] > 0.0                               # (P,1)
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        data = entries_ref[:]                                 # (G,16)
+        tcur = st_t[:]                                        # (1,P)
+        done = st_done[:] > 0.0                               # (1,P)
         _, _, power, alpha_raw = _alpha_terms(data, px, py)
         alpha = jnp.minimum(alpha_raw, alpha_max)
-        valid = (rank0 + lane) < count                        # (1,G)
+        valid = (rank0 + g_iota) < count                      # (G,1)
         a1 = jnp.where(valid & (alpha >= alpha_min) & (power <= 0.0),
-                       alpha, 0.0)                            # (P,G)
+                       alpha, 0.0)                            # (G,P)
         lg = jnp.log1p(-a1)
         t_excl = tcur * jnp.exp(
-            jnp.dot(lg, _tri_upper(G, strict=True),
-                    preferred_element_type=jnp.float32))
-        # early-termination cut: contributions stop AT the first lane where
-        # the post-commit transmittance would cross t_eps (CUDA parity)
+            jnp.dot(_tri_lower(G, strict=True), lg,
+                    preferred_element_type=jnp.float32))      # (G,P)
+        # early-termination cut: contributions stop AT the first sublane
+        # where the post-commit transmittance would cross t_eps (CUDA parity)
         cross = (a1 > 0.0) & (t_excl * (1.0 - a1) < t_eps)
-        first_cross = jnp.min(jnp.where(cross, lane, G), axis=1,
-                              keepdims=True)                  # (P,1)
-        contrib = (a1 > 0.0) & (lane < first_cross) & jnp.logical_not(done)
-        w = jnp.where(contrib, t_excl * a1, 0.0)              # (P,G)
-        col = data[6:10, :]                                   # (4,G)
+        first_cross = jnp.min(jnp.where(cross, g_iota, G), axis=0,
+                              keepdims=True)                  # (1,P)
+        contrib = (a1 > 0.0) & (g_iota < first_cross) & jnp.logical_not(done)
+        w = jnp.where(contrib, t_excl * a1, 0.0)              # (G,P)
+        col = data[:, 6:10]                                   # (G,4)
         accum_ref[0] += jax.lax.dot_general(
-            w, col, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (P,4)
+            col, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (4,P)
         lg2 = jnp.where(contrib, lg, 0.0)
-        st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=1, keepdims=True))
-        new_done = done | jnp.any(cross, axis=1, keepdims=True)
+        st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=0, keepdims=True))
+        new_done = done | jnp.any(cross, axis=0, keepdims=True)
         st_done[:] = new_done.astype(jnp.float32)
-        rank1 = rank0 + lane + 1                              # (1,G)
+        rank1 = rank0 + g_iota + 1                            # (G,1)
         nc_ref[0] = jnp.maximum(
-            nc_ref[0], jnp.max(jnp.where(contrib, rank1, 0), axis=1,
+            nc_ref[0], jnp.max(jnp.where(contrib, rank1, 0), axis=0,
                                keepdims=True))
         tfinal_ref[0] = st_t[:]
         # whole-tile early out: flag 2.0 skips remaining chunks' compute
         # (done pixels read st_done > 0, so 2.0 keeps per-pixel semantics)
         @pl.when(jnp.all(new_done))
         def _():
-            st_done[:] = jnp.full((P, 1), 2.0)
+            st_done[:] = jnp.full((1, P), 2.0)
 
 
-def _composite_fwd_call(entries_t, tile_start, tile_count, tile_base, *,
+def _composite_fwd_call(entries, tile_start, tile_count, tile_base, *,
                         n_tiles_x, n_tiles_y, tile_h, tile_w, chunk,
                         alpha_min, alpha_max, t_eps, interpret):
-    """entries_t: (16, M) transposed packed entries, with per-tile ranges
-    aligned to `chunk` (binning align=chunk)."""
+    """entries: (M, 16) packed rows, with per-tile ranges aligned to `chunk`
+    (binning align=chunk)."""
     T = n_tiles_x * n_tiles_y
     P = tile_h * tile_w
     G = chunk
-    M = entries_t.shape[1]
+    M = entries.shape[0]
     n_chunks = M // G
 
     ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
@@ -202,34 +204,34 @@ def _composite_fwd_call(entries_t, tile_start, tile_count, tile_base, *,
         num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((16, G), lambda i, ct, r0, cn, tb: (0, i),
+            pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, P, 4), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
+            pl.BlockSpec((1, 4, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     accum, t_final, nc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T + 1, P, 4), jnp.float32),
-            jax.ShapeDtypeStruct((T + 1, P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T + 1, P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((T + 1, 4, P), jnp.float32),
+            jax.ShapeDtypeStruct((T + 1, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T + 1, 1, P), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, tile_base, entries_t)
+    )(ct, rank0, cnt, tile_base, entries)
     # empty tiles are never visited by any chunk — their rows are
     # uninitialized; mask them to the empty-tile state.
     empty = (tile_count == 0)
@@ -255,78 +257,78 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 
     @pl.when(rank0 == 0)
     def _init():
-        st_t[:] = jnp.ones((P, 1), jnp.float32)
-        st_cumu[:] = jnp.zeros((P, 1), jnp.float32)
+        st_t[:] = jnp.ones((1, P), jnp.float32)
+        st_cumu[:] = jnp.zeros((1, P), jnp.float32)
 
-    d_entries_ref[:] = jnp.zeros((16, G), jnp.float32)
+    d_entries_ref[:] = jnp.zeros((G, 16), jnp.float32)
 
     @pl.when(rank0 < count)
     def _step():
         px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-        data = entries_ref[:]                                 # (16,G)
-        g_acc = g_accum_ref[0]                                # (P,4)
-        acc = accum_ref[0]                                    # (P,4)
-        g_t = g_t_ref[0]                                      # (P,1)
-        t_n = tfinal_ref[0]                                   # (P,1)
-        nc = nc_ref[0]                                        # (P,1) int32
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        data = entries_ref[:]                                 # (G,16)
+        g_acc = g_accum_ref[0]                                # (4,P)
+        acc = accum_ref[0]                                    # (4,P)
+        g_t = g_t_ref[0]                                      # (1,P)
+        t_n = tfinal_ref[0]                                   # (1,P)
+        nc = nc_ref[0]                                        # (1,P) int32
         # P0 = g·accum_total; bg blending happens outside via the t_final
         # cotangent, so no bg term appears here.
-        p0 = jnp.sum(g_acc * acc, axis=1, keepdims=True)      # (P,1)
-        gt_tn = g_t * t_n                                     # (P,1)
+        p0 = jnp.sum(g_acc * acc, axis=0, keepdims=True)      # (1,P)
+        gt_tn = g_t * t_n                                     # (1,P)
 
         tcur = st_t[:]
         cum_u = st_cumu[:]
         dx, dy, power, alpha_raw = _alpha_terms(data, px, py)
         alpha = jnp.minimum(alpha_raw, alpha_max)
-        rank = rank0 + lane                                   # (1,G)
+        rank = rank0 + g_iota                                 # (G,1)
         keep = ((rank < count) & (alpha >= alpha_min) & (power <= 0.0)
-                & (rank < nc))                                # (P,G)
+                & (rank < nc))                                # (G,P)
         a2 = jnp.where(keep, alpha, 0.0)
         lg2 = jnp.log1p(-a2)
         t_excl = tcur * jnp.exp(
-            jnp.dot(lg2, _tri_upper(G, strict=True),
-                    preferred_element_type=jnp.float32))
-        w = t_excl * a2                                       # (P,G)
-        col = data[6:10, :]                                   # (4,G)
-        gc = jax.lax.dot_general(g_acc, col, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (P,G)
+            jnp.dot(_tri_lower(G, strict=True), lg2,
+                    preferred_element_type=jnp.float32))      # (G,P)
+        w = t_excl * a2                                       # (G,P)
+        col = data[:, 6:10]                                   # (G,4)
+        gc = jax.lax.dot_general(col, g_acc, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (G,P)
         u = w * gc
-        cum_incl = cum_u + jnp.dot(u, _tri_upper(G, strict=False),
+        cum_incl = cum_u + jnp.dot(_tri_lower(G, strict=False), u,
                                    preferred_element_type=jnp.float32)
-        s_term = (p0 - cum_incl) + gt_tn                      # (P,G)
+        s_term = (p0 - cum_incl) + gt_tn                      # (G,P)
         one_m = jnp.where(keep, 1.0 - a2, 1.0)
         dl_da = jnp.where(keep, gc * t_excl - s_term / one_m, 0.0)
-        # dL/dc_j (channel) = Σ_px w·g  → (4,G), already in output layout
-        d_col = jax.lax.dot_general(g_acc, w, (((0,), (0,)), ((), ())),
+        # dL/dc_j (channel) = Σ_px w·g → (G,4), already in output layout
+        d_col = jax.lax.dot_general(w, g_acc, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         # CUDA-parity: gradient passes through the 0.99 alpha clamp.
-        dl_dpow = jnp.where(keep, dl_da * alpha_raw, 0.0)     # (P,G)
+        dl_dpow = jnp.where(keep, dl_da * alpha_raw, 0.0)     # (G,P)
         d_op = jnp.sum(jnp.where(keep,
                                  dl_da * jnp.exp(jnp.minimum(power, 0.0)),
                                  0.0),
-                       axis=0, keepdims=True)                 # (1,G)
-        d_ca = jnp.sum(dl_dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(dl_dpow * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(dl_dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
-        ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
-        d_mx = jnp.sum(dl_dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
-        d_my = jnp.sum(dl_dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
+                       axis=1, keepdims=True)                 # (G,1)
+        d_ca = jnp.sum(dl_dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cb = jnp.sum(dl_dpow * (-dx * dy), axis=1, keepdims=True)
+        d_cc = jnp.sum(dl_dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+        ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
+        d_mx = jnp.sum(dl_dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
+        d_my = jnp.sum(dl_dpow * (cc * dy + cb * dx), axis=1, keepdims=True)
         d_entries_ref[:] = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col,
-             jnp.zeros((6, G), jnp.float32)], axis=0)         # (16,G)
-        st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=1, keepdims=True))
-        st_cumu[:] = cum_u + jnp.sum(u, axis=1, keepdims=True)
+             jnp.zeros((G, 6), jnp.float32)], axis=1)         # (G,16)
+        st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=0, keepdims=True))
+        st_cumu[:] = cum_u + jnp.sum(u, axis=0, keepdims=True)
 
 
-def _composite_bwd_call(entries_t, tile_start, tile_count, tile_base, accum,
+def _composite_bwd_call(entries, tile_start, tile_count, tile_base, accum,
                         t_final, nc, g_accum, g_t, *, n_tiles_x, n_tiles_y,
                         tile_h, tile_w, chunk, alpha_min, alpha_max, t_eps,
                         interpret):
     T = n_tiles_x * n_tiles_y
     P = tile_h * tile_w
     G = chunk
-    M = entries_t.shape[1]
+    M = entries.shape[0]
     n_chunks = M // G
 
     # Beyond a tile's last contributor (max n_contrib over its pixels) every
@@ -334,7 +336,7 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, tile_base, accum,
     # so those chunks skip compute entirely (their d blocks are zeroed by
     # the unconditional init). On saturating scenes this skips most of the
     # backward walk, mirroring the forward's early-out economics.
-    max_nc = jnp.max(nc[:, :, 0], axis=1).astype(jnp.int32)    # (T,)
+    max_nc = jnp.max(nc[:, 0, :], axis=1).astype(jnp.int32)    # (T,)
     ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
                                   chunk=G, n_chunks=n_chunks,
                                   count_clamp=max_nc)
@@ -351,36 +353,36 @@ def _composite_bwd_call(entries_t, tile_start, tile_count, tile_base, accum,
         num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((16, G), lambda i, ct, r0, cn, tb: (0, i),
+            pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
                          memory_space=pltpu.VMEM),             # entries
-            pl.BlockSpec((1, P, 4), tile_block,
+            pl.BlockSpec((1, 4, P), tile_block,
                          memory_space=pltpu.VMEM),             # g_accum
-            pl.BlockSpec((1, P, 1), tile_block,
+            pl.BlockSpec((1, 1, P), tile_block,
                          memory_space=pltpu.VMEM),             # g_t
-            pl.BlockSpec((1, P, 4), tile_block,
+            pl.BlockSpec((1, 4, P), tile_block,
                          memory_space=pltpu.VMEM),             # accum
-            pl.BlockSpec((1, P, 1), tile_block,
+            pl.BlockSpec((1, 1, P), tile_block,
                          memory_space=pltpu.VMEM),             # t_final
-            pl.BlockSpec((1, P, 1), tile_block,
+            pl.BlockSpec((1, 1, P), tile_block,
                          memory_space=pltpu.VMEM),             # n_contrib
         ],
-        out_specs=pl.BlockSpec((16, G), lambda i, ct, r0, cn, tb: (0, i),
+        out_specs=pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
                                memory_space=pltpu.VMEM),       # d_entries
         scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
-    d_entries_t = pl.pallas_call(
+    d_entries = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((16, M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, tile_base, entries_t, pad(g_accum, 0.0), pad(g_t, 0.0),
+    )(ct, rank0, cnt, tile_base, entries, pad(g_accum, 0.0), pad(g_t, 0.0),
       pad(accum, 0.0), pad(t_final, 1.0), pad(nc, 0))
-    return d_entries_t
+    return d_entries
 
 
 # ---------------------------------------------------------------- public op
@@ -398,26 +400,26 @@ class _Static(NamedTuple):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _composite(entries_t, tile_start, tile_count, tile_base, static):
+def _composite(entries, tile_start, tile_count, tile_base, static):
     accum, t_final, nc = _composite_fwd_call(
-        entries_t, tile_start, tile_count, tile_base, **static._asdict())
+        entries, tile_start, tile_count, tile_base, **static._asdict())
     return accum, t_final, nc
 
 
-def _composite_fwd(entries_t, tile_start, tile_count, tile_base, static):
+def _composite_fwd(entries, tile_start, tile_count, tile_base, static):
     accum, t_final, nc = _composite_fwd_call(
-        entries_t, tile_start, tile_count, tile_base, **static._asdict())
-    return (accum, t_final, nc), (entries_t, tile_start, tile_count,
+        entries, tile_start, tile_count, tile_base, **static._asdict())
+    return (accum, t_final, nc), (entries, tile_start, tile_count,
                                   tile_base, accum, t_final, nc)
 
 
 def _composite_bwd(static, res, cot):
-    entries_t, tile_start, tile_count, tile_base, accum, t_final, nc = res
+    entries, tile_start, tile_count, tile_base, accum, t_final, nc = res
     g_accum, g_t, _ = cot     # n_contrib is int-valued aux: no cotangent
-    d_entries_t = _composite_bwd_call(
-        entries_t, tile_start, tile_count, tile_base, accum, t_final, nc,
+    d_entries = _composite_bwd_call(
+        entries, tile_start, tile_count, tile_base, accum, t_final, nc,
         g_accum, g_t, **static._asdict())
-    return d_entries_t, None, None, None
+    return d_entries, None, None, None
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -436,9 +438,9 @@ def composite_tiles_pallas(entries, tile_start, tile_count, *, n_tiles_x,
                      tile_w=tile_w, chunk=chunk, alpha_min=alpha_min,
                      alpha_max=alpha_max, t_eps=t_eps, interpret=interpret)
     base = jnp.reshape(jnp.asarray(tile_id_base, jnp.int32), (1,))
-    accum, t_final, nc = _composite(entries.T, tile_start, tile_count, base,
+    accum, t_final, nc = _composite(entries, tile_start, tile_count, base,
                                     static)
     P = tile_h * tile_w
-    return CompositeOut(accum=jnp.swapaxes(accum, 1, 2),
+    return CompositeOut(accum=accum,
                         t_final=t_final.reshape(T, P),
                         n_contrib=nc.reshape(T, P))

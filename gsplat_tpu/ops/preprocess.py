@@ -29,6 +29,15 @@ class Preprocessed(NamedTuple):
     opacity: jnp.ndarray     # (N,) effective opacity (after AA correction)
     radius: jnp.ndarray      # (N,) float pixel radius; 0 = culled
     invdepth: jnp.ndarray    # (N,) 1/depth
+    # Tight per-axis binning extents (pixels): half-widths of the axis-
+    # aligned bounding box of the {alpha >= 1/255} level set. Every pixel
+    # outside this box satisfies alpha < alpha_min and is zeroed by the
+    # compositor's own cut, so binning with these instead of the reference's
+    # circumscribed 3σ circle drops only exactly-zero contributions — the
+    # image is bit-identical while anisotropic and low-opacity splats touch
+    # far fewer tiles (the dominant cost driver is the pair count).
+    rx: jnp.ndarray          # (N,) float; 0 = culled
+    ry: jnp.ndarray          # (N,)
 
 
 def ndc2pix(v, size):
@@ -147,6 +156,23 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
     else:
         opacity_eff = opacity
 
+    # Tight binning extents: alpha(d) = op·exp(-½ dᵀ(Σ₂d)⁻¹d) ≥ 1/255
+    # ⟺ dᵀ(Σ₂d)⁻¹d ≤ t = 2·ln(255·op); the AABB of that ellipse has
+    # half-widths sqrt(t·Σxx), sqrt(t·Σyy) (dilated covariance — the same
+    # one the compositor's conic inverts). The final extents are the
+    # INTERSECTION with the reference's circumscribed square (±radius): a
+    # pixel inside the reference rect but outside this box is provably
+    # alpha < 1/255 (exactly zeroed by the compositor), and nothing the
+    # reference rect would composite is ever included beyond it — rect
+    # semantics match CUDA's exactly while touching far fewer tiles. The
+    # +1e-3 slack absorbs log/exp rounding at the level-set boundary.
+    t_cut = jnp.maximum(
+        2.0 * jnp.log(255.0 * jnp.maximum(opacity_eff, 1e-12)) + 1e-3, 0.0)
+    rx = jnp.minimum(jnp.ceil(jnp.sqrt(t_cut * jnp.maximum(c00, 0.0))),
+                     radius)
+    ry = jnp.minimum(jnp.ceil(jnp.sqrt(t_cut * jnp.maximum(c11, 0.0))),
+                     radius)
+
     # --- SH → RGB (clamped), degree masked by the warm-up state ---
     if colors_precomp is None:
         dirs = xyz - cam.camera_center[None, :]
@@ -174,8 +200,12 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
     if active_mask is not None:
         visible = visible & active_mask
     radius = jnp.where(visible, radius, 0.0)
+    tight_visible = visible & (t_cut > 0.0)
+    rx = jnp.where(tight_visible, rx, 0.0)
+    ry = jnp.where(tight_visible, ry, 0.0)
 
     invdepth = jnp.where(depth > 0.2, 1.0 / jnp.where(depth == 0, 1.0, depth), 0.0)
 
     return Preprocessed(mean2d=mean2d, depth=depth, conic=conic, color=color,
-                        opacity=opacity_eff, radius=radius, invdepth=invdepth)
+                        opacity=opacity_eff, radius=radius, invdepth=invdepth,
+                        rx=rx, ry=ry)

@@ -42,13 +42,12 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray     # () int32 — dropped pairs (should be 0)
 
 
-def pack_entries(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
-    """(N+1, 16) per-gaussian packed rows; row N is the zero padding row
-    addressed by sentinel indices. Column layout (consumed by the kernels):
-    0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
+def pack_rows(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
+    """(N, 16) per-gaussian packed rows. Column layout (consumed by the
+    kernels): 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
     6..8 rgb, 9 invdepth, 10..15 zero padding."""
     n = pre.mean2d.shape[0]
-    cols = jnp.concatenate([
+    return jnp.concatenate([
         pre.mean2d,                       # 0,1
         pre.conic,                        # 2,3,4
         pre.opacity[:, None],             # 5
@@ -56,6 +55,12 @@ def pack_entries(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
         pre.invdepth[:, None],            # 9
         jnp.zeros((n, 6), pre.mean2d.dtype),
     ], axis=-1)
+
+
+def pack_entries(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
+    """(N+1, 16) packed rows; row N is the zero padding row addressed by
+    sentinel indices."""
+    cols = pack_rows(pre)
     return jnp.concatenate([cols, jnp.zeros((1, 16), cols.dtype)], axis=0)
 
 
@@ -81,12 +86,28 @@ def _gather_entries_bwd(m_cap, res, d_aligned):
     inv_src, g_offsets, g_counts, n_rows = res
     width = d_aligned.shape[1]
     d_presort = d_aligned[inv_src]                      # (m_cap, width)
-    cs = jnp.concatenate(
-        [jnp.zeros((1, width), d_aligned.dtype),
-         jnp.cumsum(d_presort, axis=0)], axis=0)
-    lo = jnp.clip(g_offsets, 0, m_cap)
-    hi = jnp.clip(g_offsets + g_counts, 0, m_cap)
-    d_rows = cs[hi] - cs[lo]                            # (N, width)
+    # Two-level (blocked) prefix sums: the boundary differences then carry
+    # f32 error that grows with the 4096-entry block and the block chain
+    # instead of the full multi-million-entry running sum (whose magnitude
+    # would swamp gaussians with few entries — round-1 advisory).
+    L = 4096
+    B = -(-m_cap // L)
+    pad_rows = B * L - m_cap
+    d_blk = jnp.pad(d_presort, ((0, pad_rows), (0, 0))).reshape(B, L, width)
+    intra = jnp.cumsum(d_blk, axis=1)                   # (B, L, width)
+    block_tot = intra[:, -1]                            # (B, width)
+    block_pre = jnp.cumsum(block_tot, axis=0) - block_tot
+
+    # Per-gaussian sums as ONE boundary-gather pass: entries of gaussian g
+    # occupy [offsets[g], offsets[g+1]) presort (offsets is the exclusive
+    # cumsum of counts), so rows[g] = cs(offsets[g+1]) − cs(offsets[g])
+    # with cs(j) = inclusive prefix of the first j entries.
+    total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
+    bnd = jnp.clip(jnp.concatenate([g_offsets, total[None]]), 0, m_cap)
+    jm1 = jnp.maximum(bnd - 1, 0)
+    cs_b = intra[jm1 // L, jm1 % L] + block_pre[jm1 // L]   # (N+1, width)
+    cs_b = jnp.where((bnd > 0)[:, None], cs_b, 0.0)
+    d_rows = cs_b[1:] - cs_b[:-1]                       # (N, width)
     d_packed = jnp.concatenate(
         [d_rows, jnp.zeros((n_rows - d_rows.shape[0], width),
                            d_aligned.dtype)], axis=0)
@@ -179,10 +200,16 @@ def render(gaussians: GaussianParams,
     b = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(pre.mean2d), jax.lax.stop_gradient(pre.depth),
         jax.lax.stop_gradient(pre.radius),
+        rx=jax.lax.stop_gradient(pre.rx), ry=jax.lax.stop_gradient(pre.ry),
         image_width=W, image_height=H, tile_h=th, tile_w=tw, m_cap=m_cap,
-        align=cfg.chunk)
+        align=cfg.chunk, sort_gaussians=True)
 
-    packed = pack_entries(pre)                       # (N+1, 16)
+    # Per-gaussian tables in the binning's depth order (perm); the extra
+    # row cap keeps the sentinel (= zero padding row) addressable. The
+    # [perm_ext] gather's VJP is a unique-index scatter — cheap at N size.
+    perm_ext = jnp.concatenate(
+        [b.perm, jnp.full((1,), cap, jnp.int32)])
+    packed = pack_entries(pre)[perm_ext]             # (N+1, 16), depth order
     if b.inv_src is not None:
         entries = _gather_entries(packed, b.gidx_sorted, b.inv_src,
                                   b.g_offsets, b.g_counts, m_cap)

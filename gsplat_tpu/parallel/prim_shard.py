@@ -104,7 +104,8 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
                           jax.lax.stop_gradient(pre.radius) > 0, n_dev)
     packed = pack_entries(pre)                                   # (N+1,16)
 
-    def shard_fn(packed, pre_mean2d, pre_depth, pre_radius, bounds):
+    def shard_fn(packed, pre_mean2d, pre_depth, pre_radius, pre_rx, pre_ry,
+                 bounds):
         k = jax.lax.axis_index(axis)
         lo = bounds[k]
         hi = bounds[k + 1]
@@ -113,7 +114,10 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
         radius = jnp.where(in_slab, pre_radius, 0.0)
         from gsplat_tpu.ops.rasterize import composite_dispatch
         b = binning_lib.bin_gaussians(
-            pre_mean2d, pre_depth, radius, image_width=W, image_height=H,
+            pre_mean2d, pre_depth, radius,
+            rx=jnp.where(in_slab, pre_rx, 0.0),
+            ry=jnp.where(in_slab, pre_ry, 0.0),
+            image_width=W, image_height=H,
             tile_h=th, tile_w=tw, m_cap=m_cap, align=cfg.chunk)
         entries = packed[b.gidx_sorted]
         out = composite_dispatch(
@@ -131,11 +135,13 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
 
     accum, t_final, overflow = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False)(packed, jax.lax.stop_gradient(pre.mean2d),
                          jax.lax.stop_gradient(pre.depth),
-                         jax.lax.stop_gradient(pre.radius), bounds)
+                         jax.lax.stop_gradient(pre.radius),
+                         jax.lax.stop_gradient(pre.rx),
+                         jax.lax.stop_gradient(pre.ry), bounds)
 
     accum_img = _tiles_to_image(accum, n_tiles_y, n_tiles_x, th, tw, H, W)
     t_img = _tiles_to_image(t_final[:, None, :], n_tiles_y, n_tiles_x,

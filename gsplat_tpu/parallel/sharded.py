@@ -1,0 +1,295 @@
+"""Gaussian-sharded storage + tile-row-sharded rendering and training.
+
+BASELINE config 5 (>HBM scenes: 10M+ Gaussians across a pod slice) — the
+axis the single-GPU reference fundamentally cannot have (its ceiling is one
+card's 24 GB, /root/reference/README.md:88). Design:
+
+- **Storage shards.** Every per-gaussian array — parameters, Adam moments,
+  densification stats, the preprocess outputs — lives row-sharded over the
+  ``prim`` mesh axis (CAP/D rows per chip). Only a transient ~22-float/row
+  render buffer (packed entries + binning geometry) is materialized
+  replicated per frame: at 10M gaussians that is ~880 MB vs ~7 GB for
+  params+optimizer, which is what sharding must (and does) eliminate.
+- **Compute shards.** The image's tile-grid rows are partitioned over the
+  same axis. Each chip preprocesses its OWN rows, all_gathers the packed
+  rows + binning geometry (one (N,·) collective over ICI), then bins and
+  composites ONLY its tile rows — the M-proportional stages (expansion,
+  sort, gather, composite, backward) all run at ~1/D size. Shifting
+  ``mean2d.y`` by the chip's tile-row origin lets the standard
+  ``bin_gaussians`` run unmodified on a local window.
+- **Exactness.** Tiles are independent in the compositor, so per-tile
+  results — including the early-termination cut — are bit-identical to the
+  single-chip renderer (unlike depth-slab sharding, whose cut semantics
+  diverge; parallel/prim_shard.py documents that trade). The equivalence
+  test asserts near-bitwise agreement.
+- **Backward.** ``jax.grad`` differentiates straight through the
+  shard_map: the all_gather transposes to a psum_scatter that returns each
+  chip exactly the gradient rows it owns; Adam then updates locally. One
+  (N,16) reduce-scatter per step is the entire gradient communication —
+  camera-DP economics, riding ICI.
+
+Densification runs per shard (clone/split/prune allocate within the local
+row range); the free-slot layout therefore differs from the single-chip
+run, but the set of live gaussians and all statistics match.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gsplat_tpu.config import OptimizationConfig, RasterizerConfig
+from gsplat_tpu.core.camera import CameraView
+from gsplat_tpu.core.schedules import expon_lr
+from gsplat_tpu.models import gaussian_model as gm
+from gsplat_tpu.ops import binning as binning_lib
+from gsplat_tpu.ops import losses
+from gsplat_tpu.ops import preprocess as preprocess_lib
+from gsplat_tpu.ops.rasterize import (_gather_entries, _tiles_to_image,
+                                      composite_dispatch, pack_rows)
+from gsplat_tpu.train import densify as densify_lib
+from gsplat_tpu.train import optim, trainer
+
+
+def shard_state(state: "trainer.TrainState", mesh: Mesh,
+                axis: str = "prim") -> "trainer.TrainState":
+    """Place a TrainState with every per-gaussian array row-sharded over
+    ``mesh[axis]`` (capacity must divide the axis size). Exposure, schedules
+    and scalars stay replicated."""
+    cap = state.gaussians.capacity
+    d = mesh.shape[axis]
+    assert cap % d == 0, f"capacity {cap} not divisible by mesh axis {d}"
+    row = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return jax.device_put(x, row)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
+                     *, axis, n_dev, W, H, n_tiles_y_pad, cfg,
+                     m_cap_loc, antialiasing, scaling_modifier=1.0,
+                     interpret=False):
+    """Runs per chip under shard_map: local preprocess → all_gather packed →
+    local-tile-window binning + compositing → gathered image. Returns
+    (image(3,H,W), invdepth(1,H,W), radius_loc, num_pairs, overflow)."""
+    th, tw = cfg.tile_h, cfg.tile_w
+    n_tiles_x = -(-W // tw)
+    rows_loc = n_tiles_y_pad // n_dev
+    k = jax.lax.axis_index(axis)
+
+    g_loc = gm.GaussianParams(active_sh_degree=sh_degree,
+                              active=active_loc, **trainables_loc)
+    pre = preprocess_lib.preprocess(
+        g_loc.xyz, g_loc.get_scaling(), g_loc.get_rotation(),
+        g_loc.get_opacity(), g_loc.get_features(), sh_degree, cam, W, H,
+        active_mask=active_loc, scaling_modifier=scaling_modifier,
+        antialiasing=antialiasing, dilation=cfg.dilation)
+    if tap_loc is not None:
+        tap_px = tap_loc * jnp.array([[0.5 * W, 0.5 * H]], jnp.float32)
+        pre = pre._replace(mean2d=pre.mean2d + tap_px)
+
+    packed_loc = pack_rows(pre)                              # (cap/D, 16)
+    geom_loc = jnp.stack([pre.mean2d[:, 0], pre.mean2d[:, 1], pre.depth,
+                          pre.radius, pre.rx, pre.ry], axis=-1)
+    # ---- the one forward collective: (N, 22) floats over ICI ----
+    packed = jax.lax.all_gather(packed_loc, axis, tiled=True)   # (N,16)
+    geom = jax.lax.all_gather(jax.lax.stop_gradient(geom_loc), axis,
+                              tiled=True)                       # (N,6)
+
+    # ---- local tile-row window: shift y so the standard binning runs on
+    # a [0, rows_loc·th) window at per-chip m_cap ----
+    mean2d_w = jnp.stack(
+        [geom[:, 0], geom[:, 1] - (k * rows_loc * th).astype(jnp.float32)],
+        axis=-1)
+    b = binning_lib.bin_gaussians(
+        mean2d_w, geom[:, 2], geom[:, 3], rx=geom[:, 4], ry=geom[:, 5],
+        image_width=W, image_height=rows_loc * th, tile_h=th, tile_w=tw,
+        m_cap=m_cap_loc, align=cfg.chunk, sort_gaussians=True)
+    perm_ext = jnp.concatenate(
+        [b.perm, jnp.full((1,), packed.shape[0], jnp.int32)])
+    packed_ext = jnp.concatenate(
+        [packed, jnp.zeros((1, 16), packed.dtype)], axis=0)[perm_ext]
+    entries = _gather_entries(packed_ext, b.gidx_sorted, b.inv_src,
+                              b.g_offsets, b.g_counts, m_cap_loc)
+    # packed entries carry GLOBAL mean2d — give the compositor the global
+    # tile-id origin so its pixel coordinates match (binning alone used the
+    # shifted frame)
+    out = composite_dispatch(entries, b.tile_start, b.tile_count, cfg,
+                             n_tiles_x=n_tiles_x, n_tiles_y=rows_loc,
+                             tile_id_base=k * rows_loc * n_tiles_x,
+                             interpret=interpret)
+
+    # local (5, rows_loc·th, W) slab: rgb+invdepth accum and transmittance
+    slab = jnp.concatenate([out.accum, out.t_final[:, None, :]], axis=1)
+    slab = _tiles_to_image(slab, rows_loc, n_tiles_x, th, tw,
+                           rows_loc * th, W)                  # (5,h_loc,W)
+    full = jax.lax.all_gather(slab, axis, tiled=True, axis=1)  # (5,Hpad,W)
+    return (full[:, :H, :], pre.radius,
+            jax.lax.psum(b.num_pairs, axis),
+            jax.lax.pmax(b.overflow, axis))
+
+
+class ShardedRenderOut(NamedTuple):
+    image: jnp.ndarray       # (3,H,W)
+    invdepth: jnp.ndarray    # (1,H,W)
+    radii: jnp.ndarray       # (CAP,) row-sharded
+    num_pairs: jnp.ndarray   # () total over chips
+    overflow: jnp.ndarray    # () pmax over chips
+
+
+def make_sharded_render(mesh: Mesh, *, image_width: int, image_height: int,
+                        cfg: RasterizerConfig, axis: str = "prim",
+                        antialiasing: bool = False,
+                        m_cap_total: Optional[int] = None,
+                        interpret: bool = False):
+    """Build fn(gaussians_sharded, cam, bg) → ShardedRenderOut. Capacity
+    must divide mesh[axis]."""
+    n_dev = mesh.shape[axis]
+    W, H = image_width, image_height
+    th = cfg.tile_h
+    n_tiles_y = -(-H // th)
+    n_tiles_y_pad = -(-n_tiles_y // n_dev) * n_dev
+
+    def fn(gaussians: gm.GaussianParams, cam: CameraView, bg):
+        cap = gaussians.capacity
+        m_total = m_cap_total
+        if m_total is None:
+            m_total = int(cap * cfg.pairs_per_gaussian)
+        # per-chip capacity: 1/D of the total with a 1.5x imbalance margin
+        m_loc = -(-int(m_total * 1.5 / n_dev) // cfg.chunk) * cfg.chunk
+
+        shard_fn = functools.partial(
+            _render_shard_fn, axis=axis, n_dev=n_dev, W=W, H=H,
+            n_tiles_y_pad=n_tiles_y_pad, cfg=cfg, m_cap_loc=m_loc,
+            antialiasing=antialiasing, interpret=interpret)
+
+        def wrapped(trainables_loc, active_loc, sh_degree, cam):
+            return shard_fn(trainables_loc, active_loc, sh_degree, None, cam)
+
+        slab, radii, num_pairs, overflow = jax.shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(), P(axis), P(), P()),
+            check_vma=False,
+        )(gm.trainables(gaussians), gaussians.active,
+          gaussians.active_sh_degree, cam)
+        image = jnp.clip(slab[:3] + slab[4:5] * bg[:, None, None], 0.0, 1.0)
+        return ShardedRenderOut(image=image, invdepth=slab[3:4],
+                                radii=radii, num_pairs=num_pairs,
+                                overflow=overflow)
+
+    return fn
+
+
+def make_sharded_train_step(mesh: Mesh, *, image_width: int,
+                            image_height: int, opt: OptimizationConfig,
+                            rcfg: RasterizerConfig,
+                            spatial_lr_scale: float,
+                            antialiasing: bool = False,
+                            use_sparse_adam: bool = False,
+                            train_test_exp: bool = False,
+                            use_depth: bool = False, axis: str = "prim",
+                            interpret: bool = False):
+    """Build the jitted sharded train step: (state_sharded, cam, gt, amask,
+    invdepth_gt, depth_mask, bg) → (state_sharded, StepAux). Semantics match
+    trainer.train_step with every per-gaussian quantity row-sharded."""
+    n_dev = mesh.shape[axis]
+    W, H = image_width, image_height
+    th = rcfg.tile_h
+    n_tiles_y = -(-H // th)
+    n_tiles_y_pad = -(-n_tiles_y // n_dev) * n_dev
+
+    def step(state: "trainer.TrainState", cam: CameraView, gt_image,
+             alpha_mask, invdepth_gt, depth_mask, bg):
+        g = state.gaussians
+        cap = g.capacity
+        stepc = state.step + 1
+        m_loc = -(-int(cap * rcfg.pairs_per_gaussian * 1.5 / n_dev)
+                  // rcfg.chunk) * rcfg.chunk
+        depth_w = expon_lr(stepc, opt.depth_l1_weight_init,
+                           opt.depth_l1_weight_final, max_steps=opt.iterations)
+
+        shard_fn = functools.partial(
+            _render_shard_fn, axis=axis, n_dev=n_dev, W=W, H=H,
+            n_tiles_y_pad=n_tiles_y_pad, cfg=rcfg, m_cap_loc=m_loc,
+            antialiasing=antialiasing, interpret=interpret)
+
+        render_fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(axis), P()),
+            out_specs=(P(), P(axis), P(), P()),
+            check_vma=False)
+
+        def loss_fn(trainables, exposure_all, tap):
+            slab, radii, num_pairs, overflow = render_fn(
+                trainables, g.active, g.active_sh_degree, tap, cam)
+            image = slab[:3] + slab[4:5] * bg[:, None, None]
+            if train_test_exp:
+                exposure = jnp.where(
+                    cam.exposure_idx >= 0,
+                    exposure_all[jnp.maximum(cam.exposure_idx, 0)],
+                    jnp.eye(3, 4, dtype=exposure_all.dtype))
+                image = jnp.einsum("chw,ck->khw", image, exposure[:3, :3],
+                                   precision=jax.lax.Precision.HIGHEST) \
+                    + exposure[:3, 3, None, None]
+            image = jnp.clip(image, 0.0, 1.0) * alpha_mask
+            l1 = losses.l1_loss(image, gt_image)
+            ssim_v = losses.ssim(image, gt_image)
+            loss = (1.0 - opt.lambda_dssim) * l1 \
+                + opt.lambda_dssim * (1.0 - ssim_v)
+            dl1 = jnp.abs((slab[3:4] - invdepth_gt) * depth_mask).mean()
+            loss = loss + jnp.where(depth_w > 0, depth_w * dl1, 0.0) * use_depth
+            return loss, (l1, dl1, radii, num_pairs, overflow)
+
+        tap0 = jnp.zeros((cap, 2), jnp.float32)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                     has_aux=True)
+        (loss, (l1, dl1, radii, num_pairs, overflow)), \
+            (grads, exp_grads, tap_grad) = grad_fn(
+                gm.trainables(g), state.exposure, tap0)
+        act = g.active
+        grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
+                 for k, v in grads.items()}
+
+        in_densify = stepc < opt.densify_until_iter
+        stats = jax.lax.cond(
+            in_densify,
+            lambda s: densify_lib.add_densification_stats(s, radii, tap_grad),
+            lambda s: s, state.stats)
+
+        lrs = trainer._lr_dict(opt, stepc, spatial_lr_scale)
+        vis = (radii > 0) if use_sparse_adam else None
+        new_trainables, adam = optim.apply_updates(
+            gm.trainables(g), grads, state.adam, lrs, visibility_mask=vis)
+        exp_lr = expon_lr(stepc, opt.exposure_lr_init, opt.exposure_lr_final,
+                          lr_delay_steps=opt.exposure_lr_delay_steps,
+                          lr_delay_mult=opt.exposure_lr_delay_mult,
+                          max_steps=opt.iterations)
+        new_exp, exp_adam = optim.apply_updates(
+            {"exposure": state.exposure}, {"exposure": exp_grads},
+            state.exp_adam, {"exposure": exp_lr})
+
+        g2 = gm.with_trainables(g, new_trainables)
+        g2 = dataclasses.replace(
+            g2, active_sh_degree=jnp.where(
+                (stepc % 1000 == 0) & (g2.active_sh_degree < g.max_sh_degree),
+                g2.active_sh_degree + 1, g2.active_sh_degree))
+
+        new_state = trainer.TrainState(
+            gaussians=g2, adam=adam, exposure=new_exp["exposure"],
+            exp_adam=exp_adam, stats=stats, step=stepc)
+        aux = trainer.StepAux(loss=loss, l1=l1, depth_l1=dl1,
+                              num_pairs=num_pairs, overflow=overflow,
+                              radii=radii)
+        return new_state, aux
+
+    return jax.jit(step)

@@ -60,10 +60,13 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
         dilation=cfg.dilation)
     b = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(pre.mean2d), jax.lax.stop_gradient(pre.depth),
-        jax.lax.stop_gradient(pre.radius), image_width=W,
-        image_height=n_tiles_y_pad * th, tile_h=th, tile_w=tw, m_cap=m_cap,
-        align=cfg.chunk)
-    entries = pack_entries(pre)[b.gidx_sorted]
+        jax.lax.stop_gradient(pre.radius),
+        rx=jax.lax.stop_gradient(pre.rx), ry=jax.lax.stop_gradient(pre.ry),
+        image_width=W, image_height=n_tiles_y_pad * th, tile_h=th, tile_w=tw,
+        m_cap=m_cap, align=cfg.chunk, sort_gaussians=True)
+    perm_ext = jnp.concatenate(
+        [b.perm, jnp.full((1,), gaussians.capacity, jnp.int32)])
+    entries = pack_entries(pre)[perm_ext][b.gidx_sorted]
 
     def shard_fn(tile_start, tile_count, entries):
         from gsplat_tpu.ops.rasterize import composite_dispatch

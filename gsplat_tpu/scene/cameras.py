@@ -67,8 +67,34 @@ def _resize_image(arr: np.ndarray, resolution) -> np.ndarray:
     return np.asarray(img).astype(np.float32) / 255.0
 
 
+def _resolution_policy(resolution_arg: int, resolution_scale: float,
+                       orig_w: int, orig_h: int):
+    """(W, H) target from the reference resolution policy
+    (utils/camera_utils.py:43-61): divisor flags {1,2,4,8}, target-width for
+    other positive values, auto-downscale of >1600px-wide images at -1."""
+    if resolution_arg in [1, 2, 4, 8]:
+        scale = resolution_scale * resolution_arg
+        return round(orig_w / scale), round(orig_h / scale)
+    if resolution_arg == -1:
+        if orig_w > 1600:
+            if not WARNED_ABOUT_RESOLUTION[0]:
+                print("[ INFO ] Encountered quite large input images "
+                      "(>1.6K pixels width), rescaling to 1.6K.\n"
+                      " If this is not desired, please explicitly specify "
+                      "'--resolution/-r' as 1")
+                WARNED_ABOUT_RESOLUTION[0] = True
+            global_down = orig_w / 1600
+        else:
+            global_down = 1
+    else:
+        global_down = orig_w / resolution_arg
+    scale = float(global_down) * float(resolution_scale)
+    return int(orig_w / scale), int(orig_h / scale)
+
+
 def load_cam(resolution_arg: int, cam_info: CameraInfo, resolution_scale=1.0,
-             train_test_exp=False, is_test_dataset=False) -> Camera:
+             train_test_exp=False, is_test_dataset=False,
+             predecoded=None) -> Camera:
     """Resolution policy + image/depth decode.
 
     Parity: reference utils/camera_utils.py:16-66 (loadCam) — divisor flags
@@ -93,27 +119,12 @@ def load_cam(resolution_arg: int, cam_info: CameraInfo, resolution_scale=1.0,
         pil = None
         orig_w, orig_h = size
 
-    if resolution_arg in [1, 2, 4, 8]:
-        scale = resolution_scale * resolution_arg
-        resolution = round(orig_w / scale), round(orig_h / scale)
-    else:
-        if resolution_arg == -1:
-            if orig_w > 1600:
-                if not WARNED_ABOUT_RESOLUTION[0]:
-                    print("[ INFO ] Encountered quite large input images "
-                          "(>1.6K pixels width), rescaling to 1.6K.\n"
-                          " If this is not desired, please explicitly specify "
-                          "'--resolution/-r' as 1")
-                    WARNED_ABOUT_RESOLUTION[0] = True
-                global_down = orig_w / 1600
-            else:
-                global_down = 1
-        else:
-            global_down = orig_w / resolution_arg
-        scale = float(global_down) * float(resolution_scale)
-        resolution = (int(orig_w / scale), int(orig_h / scale))
+    resolution = _resolution_policy(resolution_arg, resolution_scale,
+                                    orig_w, orig_h)
 
-    if pil is None:
+    if predecoded is not None:
+        decoded = predecoded          # from the native batch decoder
+    elif pil is None:
         decoded = native.decode_image(cam_info.image_path,
                                       resolution[0], resolution[1])
     else:
@@ -199,9 +210,34 @@ def load_cam(resolution_arg: int, cam_info: CameraInfo, resolution_scale=1.0,
 def camera_list_from_infos(cam_infos: List[CameraInfo], resolution_scale,
                            resolution_arg, is_test_dataset,
                            train_test_exp=False) -> List[Camera]:
-    """Parity: reference camera_utils.cameraList_from_camInfos (:69-75)."""
+    """Parity: reference camera_utils.cameraList_from_camInfos (:69-75).
+
+    When the native loader is built, the whole camera set decodes through
+    ONE threaded ``decode_batch`` call per target resolution (the
+    startup-latency killer for multi-hundred-image scenes); per-image
+    decode/PIL remains the fallback."""
+    from gsplat_tpu import native
+
+    predecoded = {}
+    if native.available():
+        groups = {}
+        for i, c in enumerate(cam_infos):
+            size = native.image_size(c.image_path)
+            if size is None:
+                continue
+            res = _resolution_policy(resolution_arg, resolution_scale,
+                                     size[0], size[1])
+            groups.setdefault(res, []).append(i)
+        for (w, h), idxs in groups.items():
+            out = native.decode_batch(
+                [cam_infos[i].image_path for i in idxs], w, h)
+            if out is not None:
+                bufs, flags = out
+                for j, i in enumerate(idxs):
+                    predecoded[i] = (bufs[j], bool(flags[j]))
     return [load_cam(resolution_arg, c, resolution_scale, train_test_exp,
-                     is_test_dataset) for c in cam_infos]
+                     is_test_dataset, predecoded=predecoded.get(i))
+            for i, c in enumerate(cam_infos)]
 
 
 def camera_to_json(idx: int, camera) -> dict:

@@ -71,6 +71,15 @@ def test_train_render_metrics_pipeline(tmp_path, rng):
     assert os.path.exists(os.path.join(model, "cfg_args.json"))
     assert os.path.exists(os.path.join(model, "cameras.json"))
     assert os.path.exists(os.path.join(model, "input.ply"))
+    # structured telemetry (reference training_report scalars → JSONL)
+    log_path = os.path.join(model, "training_log.jsonl")
+    assert os.path.exists(log_path)
+    recs = [json.loads(l) for l in open(log_path)]
+    assert len(recs) >= iters
+    assert {"step", "train_loss_patches/total_loss",
+            "total_points"} <= set(recs[0])
+    eval_recs = [r for r in recs if "test/loss_viewpoint - psnr" in r]
+    assert eval_recs, "eval PSNR scalars missing from telemetry"
     ply = os.path.join(model, f"point_cloud/iteration_{iters}",
                        "point_cloud.ply")
     assert os.path.exists(ply)
@@ -108,3 +117,37 @@ def test_train_cli_data_parallel(tmp_path, rng):
         "--disable_viewer", "--quiet", "--data_parallel"])
     assert os.path.exists(
         os.path.join(model, "point_cloud/iteration_3/point_cloud.ply"))
+
+
+def test_debug_dump_on_nonfinite_loss(tmp_path, rng, monkeypatch):
+    """--debug contract (reference README:156-159): a non-finite loss dumps
+    the full pre-step input snapshot and aborts with a clear error."""
+    import glob
+    import jax.numpy as jnp
+    from gsplat_tpu.cli import train as train_cli
+    from gsplat_tpu.train import trainer
+
+    src = _make_colmap_scene(str(tmp_path / "scene"), n_pts=60, n_cams=4,
+                             W=32, H=32, rng=rng)
+    model = str(tmp_path / "model_dbg")
+
+    orig_step = trainer.train_step
+
+    def poisoned_step(state, *a, **kw):
+        s, aux = orig_step(state, *a, **kw)
+        return s, aux._replace(loss=jnp.asarray(float("nan")))
+
+    monkeypatch.setattr(trainer, "train_step", poisoned_step)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        train_cli.main([
+            "--source_path", src, "--model_path", model,
+            "--iterations", "2", "--sh_degree", "0", "--debug",
+            "--test_iterations", "-1", "--save_iterations", "-1",
+            "--disable_viewer", "--quiet"])
+    snaps = glob.glob(os.path.join(model, "snapshot_iter*.npz"))
+    assert snaps, "no snapshot dumped"
+    data = np.load(snaps[0], allow_pickle=True)
+    keys = set(data.keys())
+    assert "gt" in keys and "iteration" in keys
+    assert any(k.startswith("state") for k in keys)
+    assert any(k.startswith("cam") for k in keys)

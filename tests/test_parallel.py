@@ -213,3 +213,89 @@ def test_prim_sharded_grads_match_single(rng):
     # which cancellation amplifies on near-zero components.
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
                                rtol=1e-3, atol=5e-4)
+
+
+def test_sharded_storage_render_matches_single(rng):
+    """Gaussian-sharded storage + tile-row-sharded rendering: per-chip
+    params are CAP/8 rows, per-chip binning covers only its tile rows, and
+    the assembled image equals the single-chip render near-bitwise (tiles
+    are independent — exact early-out semantics, unlike depth slabs)."""
+    from gsplat_tpu.parallel import sharded
+    W, H = TILE_W, 8 * TILE_H
+    g, cam = make_scene(rng, n=300, cap=320)   # 320 % 8 == 0
+    rcfg = cfg()
+    mesh = make_mesh((("prim", N_DEV),))
+    bg = jnp.full(3, 0.3)
+
+    g_sharded = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, jax.NamedSharding(mesh, jax.sharding.PartitionSpec("prim"))
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == 320
+            else jax.NamedSharding(mesh, jax.sharding.PartitionSpec())), g)
+
+    render_fn = sharded.make_sharded_render(
+        mesh, image_width=W, image_height=H, cfg=rcfg)
+    out_s = jax.jit(render_fn, static_argnums=())(g_sharded, cam, bg)
+    assert int(out_s.overflow) == 0
+    # per-chip shard shapes really are CAP/8
+    shard_shapes = {s.data.shape for s in out_s.radii.addressable_shards}
+    assert shard_shapes == {(320 // N_DEV,)}
+
+    out_1 = render(g, cam, W, H, bg, rcfg)
+    np.testing.assert_allclose(np.asarray(out_s.image),
+                               np.asarray(out_1.image), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_s.invdepth),
+                               np.asarray(out_1.invdepth),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(out_s.radii),
+                                  np.asarray(out_1.radii))
+    assert int(out_s.num_pairs) > 0
+
+
+def test_sharded_storage_train_step_matches_single(rng):
+    """One sharded-storage train step == the single-chip step: same loss,
+    same parameter update, same densify stats — with params, moments and
+    stats all row-sharded over the prim axis."""
+    from gsplat_tpu.parallel import sharded
+    W, H = TILE_W, 8 * TILE_H
+    g, cam = make_scene(rng, n=100, cap=128)
+    rcfg = cfg()
+    opt = OptimizationConfig()
+    mesh = make_mesh((("prim", N_DEV),))
+
+    state0 = trainer.init_state(g, 1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    ones = jnp.ones((1, H, W), jnp.float32)
+    zeros = jnp.zeros((1, H, W), jnp.float32)
+    bg = jnp.zeros(3)
+
+    state_sh = sharded.shard_state(state0, mesh)
+    step_fn = sharded.make_sharded_train_step(
+        mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+        spatial_lr_scale=1.0)
+    state_s, aux_s = step_fn(state_sh, cam, gt, ones, zeros, zeros, bg)
+
+    state_1, aux_1 = trainer.train_step(
+        state0, cam, gt, ones, zeros, zeros, bg, image_width=W,
+        image_height=H, opt=opt, rcfg=rcfg, spatial_lr_scale=1.0,
+        antialiasing=False, use_sparse_adam=False, train_test_exp=False,
+        use_depth=False)
+
+    np.testing.assert_allclose(float(aux_s.loss), float(aux_1.loss),
+                               rtol=1e-6)
+    # Adam's mu/(sqrt(nu)+1e-15) amplifies f32 reassociation noise for
+    # near-zero-gradient rows (the reduce-scatter sums per-tile gradient
+    # contributions in a different order) — same tolerance rationale as the
+    # prim-shard gradient test.
+    np.testing.assert_allclose(np.asarray(state_s.gaussians.xyz),
+                               np.asarray(state_1.gaussians.xyz),
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(state_s.stats.denom),
+                               np.asarray(state_1.stats.denom))
+    np.testing.assert_allclose(np.asarray(state_s.stats.xyz_gradient_accum),
+                               np.asarray(state_1.stats.xyz_gradient_accum),
+                               rtol=1e-4, atol=1e-8)
+    # optimizer moments live sharded
+    shard_shapes = {s.data.shape[0] for s in
+                    state_s.adam.mu["xyz"].addressable_shards}
+    assert shard_shapes == {128 // N_DEV}

@@ -350,3 +350,49 @@ def test_load_cam_native_matches_pil(tmp_path, rng):
         os.environ.pop("GSPLAT_NATIVE_LOADER")
     assert cam_native.image.shape == cam_pil.image.shape
     assert np.abs(cam_native.image - cam_pil.image).mean() < 0.01
+
+
+def test_camera_list_uses_batch_decode(tmp_path, rng):
+    """camera_list_from_infos routes the whole set through one threaded
+    decode_batch call per target resolution and produces the same cameras
+    as the per-image path."""
+    import os
+    from unittest import mock
+    from PIL import Image
+    from gsplat_tpu import native
+    from gsplat_tpu.scene import cameras as cam_lib
+    from gsplat_tpu.scene.dataset_readers import CameraInfo
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    infos = []
+    for i in range(4):
+        yy, xx = np.mgrid[0:64, 0:96]
+        img = np.stack([(xx * (i + 1)) % 256, yy * 2 % 256,
+                        (xx + yy + 40 * i) % 256], -1).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray(img).save(p)
+        infos.append(CameraInfo(uid=i, R=np.eye(3), T=np.zeros(3), FovY=0.8,
+                                FovX=0.9, image_path=p, image_name=f"im{i}",
+                                width=96, height=64))
+
+    calls = []
+    orig_batch = native.decode_batch
+
+    def counting_batch(paths, w, h, n_threads=0):
+        calls.append(list(paths))
+        return orig_batch(paths, w, h, n_threads)
+
+    with mock.patch.object(native, "decode_batch", counting_batch):
+        cams = cam_lib.camera_list_from_infos(infos, 1.0, 2, False)
+    assert len(calls) == 1 and len(calls[0]) == 4, \
+        f"expected one 4-image batch call, got {calls}"
+
+    os.environ["GSPLAT_NATIVE_LOADER"] = "0"
+    try:
+        cams_pil = cam_lib.camera_list_from_infos(infos, 1.0, 2, False)
+    finally:
+        os.environ.pop("GSPLAT_NATIVE_LOADER")
+    for a, b in zip(cams, cams_pil):
+        assert a.image.shape == b.image.shape
+        assert np.abs(a.image - b.image).mean() < 0.01

@@ -92,3 +92,44 @@ def test_network_gui_roundtrip(rng):
     assert "img_py" in result, "python-path request not served"
     diff = np.abs(result["img"].astype(int) - result["img_py"].astype(int))
     assert diff.max() <= 1, f"python-path frame diverged (max diff {diff.max()})"
+
+
+def test_web_viewer_roundtrip(tmp_path, rng):
+    """The trained-PLY web viewer (SIBR_gaussianViewer_app analogue): save a
+    model PLY, load it through the viewer, fetch the page, /info and a
+    rendered frame over HTTP."""
+    import io
+    import urllib.request
+    from PIL import Image
+    from gsplat_tpu.scene import ply as ply_lib
+    from gsplat_tpu.viewer.web import ViewerServer, load_gaussians_from_ply
+    from tests.test_rasterize import make_scene
+
+    g, _cam = make_scene(rng, n=80)
+    p = str(tmp_path / "point_cloud.ply")
+    ply_lib.save_gaussian_ply(
+        p, np.asarray(g.xyz), np.asarray(g.f_dc), np.asarray(g.f_rest),
+        np.asarray(g.opacity), np.asarray(g.scaling), np.asarray(g.rotation))
+
+    loaded = load_gaussians_from_ply(p)
+    np.testing.assert_allclose(np.asarray(loaded.xyz), np.asarray(g.xyz),
+                               rtol=1e-6)
+
+    server = ViewerServer(loaded, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        page = urllib.request.urlopen(base + "/", timeout=120).read()
+        assert b"canvas" in page
+        info = json.loads(urllib.request.urlopen(base + "/info",
+                                                 timeout=120).read())
+        assert info["n"] == 80
+        frame = urllib.request.urlopen(
+            base + "/render?theta=0.3&phi=0.1&r=6&w=64&h=48",
+            timeout=240).read()
+        img = np.asarray(Image.open(io.BytesIO(frame)))
+        assert img.shape == (48, 64, 3)
+        assert img.std() > 0, "blank frame"
+    finally:
+        server.shutdown()
