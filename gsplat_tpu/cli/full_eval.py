@@ -32,21 +32,25 @@ def main(argv=None):
                         default=os.environ.get("TANDT_DIR", ""))
     parser.add_argument("--deepblending", "-db", type=str,
                         default=os.environ.get("DB_DIR", ""))
+    parser.add_argument("--scene_subset", nargs="+", default=None,
+                        help="run only these scene names (e.g. garden truck)")
     args, _ = parser.parse_known_args(argv if argv is not None
                                       else sys.argv[1:])
 
     def scenes():
+        def keep(s):
+            return args.scene_subset is None or s in args.scene_subset
         for s in mipnerf360_outdoor_scenes:
-            if args.mipnerf360:
+            if args.mipnerf360 and keep(s):
                 yield os.path.join(args.mipnerf360, s), s, ["-i", "images_4"]
         for s in mipnerf360_indoor_scenes:
-            if args.mipnerf360:
+            if args.mipnerf360 and keep(s):
                 yield os.path.join(args.mipnerf360, s), s, ["-i", "images_2"]
         for s in tanks_and_temples_scenes:
-            if args.tanksandtemples:
+            if args.tanksandtemples and keep(s):
                 yield os.path.join(args.tanksandtemples, s), s, []
         for s in deep_blending_scenes:
-            if args.deepblending:
+            if args.deepblending and keep(s):
                 yield os.path.join(args.deepblending, s), s, []
 
     extra = []

@@ -28,6 +28,12 @@ def main(argv=None):
     parser.add_argument("--data_parallel", action="store_true", default=False,
                         help="camera data-parallel training over all devices"
                              " (one camera per chip per step)")
+    parser.add_argument("--shard_gaussians", action="store_true",
+                        default=False,
+                        help="gaussian-sharded storage training: params, "
+                             "optimizer state and stats row-sharded over "
+                             "all devices (for scenes beyond one chip's "
+                             "memory; see SCALING.md)")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
     parser.add_argument("--checkpoint_interval", type=int, default=0,
@@ -73,7 +79,8 @@ def main(argv=None):
           args.save_iterations, args.checkpoint_iterations,
           args.start_checkpoint, network_gui_server=server, quiet=args.quiet,
           data_parallel=args.data_parallel,
-          checkpoint_interval=args.checkpoint_interval)
+          checkpoint_interval=args.checkpoint_interval,
+          shard_gaussians=args.shard_gaussians)
     print("\nTraining complete.")
 
 

@@ -303,6 +303,10 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
         d_col = jax.lax.dot_general(w, g_acc, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         # CUDA-parity: gradient passes through the 0.99 alpha clamp.
+        # (A moment-matmul variant — one (G,P)@(P,6) contraction against
+        # [1,x,y,x²,y²,xy] replacing these six lane reductions — measured
+        # +5 ms/step SLOWER on-chip: the reductions are not the bottleneck
+        # here. See tools/experiments/ notes.)
         dl_dpow = jnp.where(keep, dl_da * alpha_raw, 0.0)     # (G,P)
         d_op = jnp.sum(jnp.where(keep,
                                  dl_da * jnp.exp(jnp.minimum(power, 0.0)),

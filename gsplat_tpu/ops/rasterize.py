@@ -89,13 +89,17 @@ def _gather_entries_bwd(m_cap, res, d_aligned):
     # Two-level (blocked) prefix sums: the boundary differences then carry
     # f32 error that grows with the 4096-entry block and the block chain
     # instead of the full multi-million-entry running sum (whose magnitude
-    # would swamp gaussians with few entries — round-1 advisory).
+    # would swamp gaussians with few entries — round-1 advisory). A Pallas
+    # O(n) scan was measured slower than XLA's cumsum at this width (15 vs
+    # 9 ms — the (·,16) layout wastes 7/8 of each vector register);
+    # see tools/experiments/pallas_scan.py.
     L = 4096
     B = -(-m_cap // L)
     pad_rows = B * L - m_cap
-    d_blk = jnp.pad(d_presort, ((0, pad_rows), (0, 0))).reshape(B, L, width)
-    intra = jnp.cumsum(d_blk, axis=1)                   # (B, L, width)
-    block_tot = intra[:, -1]                            # (B, width)
+    d_pad = jnp.pad(d_presort, ((0, pad_rows), (0, 0)))
+    intra = jnp.cumsum(d_pad.reshape(B, L, width),
+                       axis=1).reshape(B * L, width)
+    block_tot = intra[L - 1::L]                         # (B, width)
     block_pre = jnp.cumsum(block_tot, axis=0) - block_tot
 
     # Per-gaussian sums as ONE boundary-gather pass: entries of gaussian g
@@ -105,7 +109,7 @@ def _gather_entries_bwd(m_cap, res, d_aligned):
     total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
     bnd = jnp.clip(jnp.concatenate([g_offsets, total[None]]), 0, m_cap)
     jm1 = jnp.maximum(bnd - 1, 0)
-    cs_b = intra[jm1 // L, jm1 % L] + block_pre[jm1 // L]   # (N+1, width)
+    cs_b = intra[jm1] + block_pre[jm1 // L]             # (N+1, width)
     cs_b = jnp.where((bnd > 0)[:, None], cs_b, 0.0)
     d_rows = cs_b[1:] - cs_b[:-1]                       # (N, width)
     d_packed = jnp.concatenate(

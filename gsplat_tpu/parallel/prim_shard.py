@@ -119,7 +119,9 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
             ry=jnp.where(in_slab, pre_ry, 0.0),
             image_width=W, image_height=H,
             tile_h=th, tile_w=tw, m_cap=m_cap, align=cfg.chunk)
-        entries = packed[b.gidx_sorted]
+        from gsplat_tpu.ops.rasterize import _gather_entries
+        entries = _gather_entries(packed, b.gidx_sorted, b.inv_src,
+                                  b.g_offsets, b.g_counts, m_cap)
         out = composite_dispatch(
             entries, b.tile_start, b.tile_count, cfg,
             n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, interpret=interpret)

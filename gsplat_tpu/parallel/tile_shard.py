@@ -64,9 +64,13 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
         rx=jax.lax.stop_gradient(pre.rx), ry=jax.lax.stop_gradient(pre.ry),
         image_width=W, image_height=n_tiles_y_pad * th, tile_h=th, tile_w=tw,
         m_cap=m_cap, align=cfg.chunk, sort_gaussians=True)
+    from gsplat_tpu.ops.rasterize import _gather_entries
     perm_ext = jnp.concatenate(
         [b.perm, jnp.full((1,), gaussians.capacity, jnp.int32)])
-    entries = pack_entries(pre)[perm_ext][b.gidx_sorted]
+    # custom-VJP gather: backward is gather+cumsum, not the M-sized
+    # duplicate-index scatter-add the plain gather's transpose would emit
+    entries = _gather_entries(pack_entries(pre)[perm_ext], b.gidx_sorted,
+                              b.inv_src, b.g_offsets, b.g_counts, m_cap)
 
     def shard_fn(tile_start, tile_count, entries):
         from gsplat_tpu.ops.rasterize import composite_dispatch

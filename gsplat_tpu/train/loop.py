@@ -39,7 +39,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
           checkpoint_iterations, start_checkpoint: Optional[str] = None,
           network_gui_server=None, quiet: bool = False,
           capacity_multiplier: float = 4.0, data_parallel: bool = False,
-          checkpoint_interval: int = 0):
+          checkpoint_interval: int = 0, shard_gaussians: bool = False):
     """Run the full optimization. Returns (scene, state)."""
     scene = Scene(dataset, dataset.sh_degree, capacity=0)
     n0 = int(np.asarray(scene.gaussians.num_active()))
@@ -79,6 +79,35 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         from gsplat_tpu.parallel.mesh import make_mesh
         dp_mesh = make_mesh((("data", n_dev),))
         print(f"camera data-parallel training over {n_dev} devices")
+
+    # ---- gaussian-sharded storage (new capability; parallel/sharded.py) --
+    # Params/Adam/stats live row-sharded over a ``prim`` mesh; the step
+    # shards binning + compositing by tile rows too. Densify/reset/grow run
+    # through the same jitted fns — GSPMD repartitions their row-wise ops.
+    prim_mesh = None
+    if shard_gaussians and n_dev > 1:
+        assert not data_parallel, \
+            "--shard_gaussians and --data_parallel are separate axes (a " \
+            "2D mesh combining them is future work)"
+        from gsplat_tpu.parallel import sharded as sharded_lib
+        from gsplat_tpu.parallel.mesh import make_mesh
+        prim_mesh = make_mesh((("prim", n_dev),))
+        cap_div = _round_up(state.gaussians.capacity, n_dev)
+        state = ckpt_lib.grow_capacity(state, cap_div)
+        state = sharded_lib.shard_state(state, prim_mesh)
+        print(f"gaussian-sharded training over {n_dev} devices "
+              f"({state.gaussians.capacity // n_dev} rows/chip)")
+
+    def _sharded_step_for(W, H):
+        if (W, H) not in dp_steps:
+            from gsplat_tpu.parallel import sharded as sharded_lib
+            dp_steps[(W, H)] = sharded_lib.make_sharded_train_step(
+                prim_mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                spatial_lr_scale=spatial_lr_scale,
+                antialiasing=pipe.antialiasing,
+                use_sparse_adam=use_sparse_adam,
+                train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+        return dp_steps[(W, H)]
 
     def _dp_step_for(W, H):
         if (W, H) not in dp_steps:
@@ -162,6 +191,13 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             def run_step(s):
                 return _dp_step_for(W, H)(s, cam_b, gt_b, am_b, iv_b,
                                           dm_b, bg)
+        elif prim_mesh is not None:
+            gt, amask, inv_gt, dmask = (jnp.asarray(a)
+                                        for a in _cam_arrays(cam))
+
+            def run_step(s):
+                return _sharded_step_for(W, H)(s, cam.view(), gt, amask,
+                                               inv_gt, dmask, bg)
         else:
             gt, amask, inv_gt, dmask = (jnp.asarray(a)
                                         for a in _cam_arrays(cam))
@@ -194,8 +230,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             print(f"[iter {iteration}] pair overflow {int(aux.overflow)} — "
                   f"pairs_per_gaussian → {rcfg.pairs_per_gaussian:.1f}; "
                   f"retrying frame from pre-step state")
-            if dp_mesh is not None:
-                dp_steps.clear()   # step fns bake rcfg into their closures
+            dp_steps.clear()   # step fns bake rcfg into their closures
             state, aux = run_step(prev_state)
 
         # ---- --debug failure snapshot (reference README:156-159) ----
@@ -223,9 +258,14 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
                 if ovf > 0:
                     new_cap = _round_up(state.gaussians.capacity + max(
                         ovf, state.gaussians.capacity), 1024)
+                    if prim_mesh is not None:
+                        new_cap = _round_up(new_cap, n_dev)
                     print(f"[iter {iteration}] capacity {state.gaussians.capacity}"
                           f" → {new_cap} (overflow {ovf})")
                     state = ckpt_lib.grow_capacity(state, new_cap)
+                    if prim_mesh is not None:
+                        from gsplat_tpu.parallel import sharded as sharded_lib
+                        state = sharded_lib.shard_state(state, prim_mesh)
             if (iteration % opt.opacity_reset_interval == 0
                     or (dataset.white_background
                         and iteration == opt.densify_from_iter)):

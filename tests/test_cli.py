@@ -151,3 +151,42 @@ def test_debug_dump_on_nonfinite_loss(tmp_path, rng, monkeypatch):
     assert "gt" in keys and "iteration" in keys
     assert any(k.startswith("state") for k in keys)
     assert any(k.startswith("cam") for k in keys)
+
+
+def test_train_cli_shard_gaussians(tmp_path, rng):
+    """--shard_gaussians drives the gaussian-sharded-storage loop path over
+    the 8-device mesh: params/moments stay row-sharded through train steps,
+    densify events and capacity growth; PLY saved."""
+    import jax
+    from gsplat_tpu.cli import train as train_cli
+    from gsplat_tpu.train import loop as loop_lib
+
+    src = _make_colmap_scene(str(tmp_path / "scene"), n_pts=60, n_cams=4,
+                             W=32, H=32, rng=rng)
+    model = str(tmp_path / "model_sharded")
+    captured = {}
+    orig_train = loop_lib.train
+
+    def capture_train(*a, **kw):
+        scene, state = orig_train(*a, **kw)
+        captured["state"] = state
+        return scene, state
+
+    loop_lib.train = capture_train
+    try:
+        train_cli.main([
+            "--source_path", src, "--model_path", model, "--eval",
+            "--iterations", "3", "--sh_degree", "0",
+            "--test_iterations", "3", "--save_iterations", "3",
+            "--disable_viewer", "--quiet", "--shard_gaussians"])
+    finally:
+        loop_lib.train = orig_train
+    assert os.path.exists(
+        os.path.join(model, "point_cloud/iteration_3/point_cloud.ply"))
+    state = captured["state"]
+    cap = state.gaussians.capacity
+    rows = {s.data.shape[0] for s in state.gaussians.xyz.addressable_shards}
+    assert rows == {cap // 8}, f"params not row-sharded after training: {rows}"
+    rows_mu = {s.data.shape[0]
+               for s in state.adam.mu["xyz"].addressable_shards}
+    assert rows_mu == {cap // 8}

@@ -2,8 +2,10 @@
 
 Builds a ground-truth scene from a random Gaussian model, renders GT images
 from a ring of cameras, then trains a fresh model (with densification) to
-fit them. PSNR must climb — exercises the full train loop: render fwd/bwd,
-SSIM, Adam, densify/clone/split/prune, opacity reset, SH warmup.
+fit them. Every 4th camera is HELD OUT of training (llffhold-style): the
+reported test PSNR is true novel-view generalization, not self-fit. Both
+train and test PSNR must climb — exercises the full train loop: render
+fwd/bwd, SSIM, Adam, densify/clone/split/prune, opacity reset, SH warmup.
 """
 import math
 import sys
@@ -54,6 +56,9 @@ def main():
                                                 endpoint=False)]
     gts = [jnp.clip(render(g_gt, c, W, H, bg, rcfg).image, 0, 1)
            for c in cams]
+    # llffhold-style split: every 4th view is test-only (never trained on)
+    test_idx = set(range(0, len(cams), 4))
+    train_ids = [i for i in range(len(cams)) if i not in test_idx]
 
     # init a smaller model from noisy GT points
     sel = rng.choice(n_gt, n_init, replace=False)
@@ -67,18 +72,19 @@ def main():
     ones = jnp.ones((1, H, W), jnp.float32)
     zeros = jnp.zeros((1, H, W), jnp.float32)
 
-    def psnr_now(state):
+    def psnr_now(state, ids):
         vals = []
-        for c, gt in zip(cams, gts):
-            img = render(state.gaussians, c, W, H, bg, rcfg).image
-            vals.append(float(losses.psnr(img[None], gt[None]).mean()))
+        for i in ids:
+            img = render(state.gaussians, cams[i], W, H, bg, rcfg).image
+            vals.append(float(losses.psnr(img[None], gts[i][None]).mean()))
         return float(np.mean(vals))
 
-    p0 = psnr_now(state)
+    p0_train = psnr_now(state, train_ids)
+    p0_test = psnr_now(state, sorted(test_idx))
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for it in range(1, iters + 1):
-        i = rng.integers(0, len(cams))
+        i = train_ids[rng.integers(0, len(train_ids))]
         state, aux = trainer.train_step(
             state, cams[i], gts[i], ones, zeros, zeros, bg,
             image_width=W, image_height=H, opt=opt, rcfg=rcfg,
@@ -92,11 +98,15 @@ def main():
             print(f"iter {it}: loss={float(aux.loss):.4f} "
                   f"n={int(np.asarray(state.gaussians.num_active()))} "
                   f"({time.time()-t0:.0f}s)", flush=True)
-    p1 = psnr_now(state)
+    p1_train = psnr_now(state, train_ids)
+    p1_test = psnr_now(state, sorted(test_idx))
     dt = time.time() - t0
-    print(f"PSNR {p0:.2f} → {p1:.2f} dB over {iters} iters "
-          f"({iters/dt:.2f} it/s, n={int(np.asarray(state.gaussians.num_active()))})")
-    assert p1 > p0 + 3.0, "training did not improve PSNR by >3dB"
+    print(f"train PSNR {p0_train:.2f} → {p1_train:.2f} dB, "
+          f"HELD-OUT test PSNR {p0_test:.2f} → {p1_test:.2f} dB over "
+          f"{iters} iters ({iters/dt:.2f} it/s, "
+          f"n={int(np.asarray(state.gaussians.num_active()))})")
+    assert p1_train > p0_train + 3.0, "train PSNR did not improve by >3dB"
+    assert p1_test > p0_test + 3.0, "held-out PSNR did not improve by >3dB"
     print("OK")
 
 

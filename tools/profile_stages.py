@@ -60,8 +60,6 @@ def main():
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
 
     th, tw = rcfg.tile_h, rcfg.tile_w
-    m_cap = int(n * rcfg.pairs_per_gaussian)
-    m_cap = -(-m_cap // rcfg.chunk) * rcfg.chunk
 
     # --- stage 1: preprocess
     @jax.jit
@@ -73,12 +71,24 @@ def main():
     pre = f_pre(g)
     timeit("preprocess", f_pre, g)
 
-    # --- stage 2: binning (incl sort)
+    # --- stage 2: binning — the SAME configuration render() uses
+    # (depth-presorted gaussians, tight extents), at the right-sized m_cap
+    # a warmed-up training run / bench.py reaches (pairs x 1.3)
+    probe = binning_lib.bin_gaussians(
+        pre.mean2d, pre.depth, pre.radius, rx=pre.rx, ry=pre.ry,
+        image_width=W, image_height=H, tile_h=th, tile_w=tw,
+        m_cap=-(-int(n * rcfg.pairs_per_gaussian) // rcfg.chunk) * rcfg.chunk,
+        align=rcfg.chunk, sort_gaussians=True)
+    m_cap = -(-int(int(probe.num_pairs) * 1.3) // rcfg.chunk) * rcfg.chunk
+    rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=m_cap / n)
+
     @jax.jit
     def f_bin(pre):
         return binning_lib.bin_gaussians(
-            pre.mean2d, pre.depth, pre.radius, image_width=W, image_height=H,
-            tile_h=th, tile_w=tw, m_cap=m_cap, align=rcfg.chunk)
+            pre.mean2d, pre.depth, pre.radius, rx=pre.rx, ry=pre.ry,
+            image_width=W, image_height=H,
+            tile_h=th, tile_w=tw, m_cap=m_cap, align=rcfg.chunk,
+            sort_gaussians=True)
     b = f_bin(pre)
     print(f"  num_pairs={int(b.num_pairs)} overflow={int(b.overflow)} "
           f"m_cap={m_cap} M_out={b.gidx_sorted.shape[0]}")
@@ -87,7 +97,9 @@ def main():
     # --- stage 3: gather
     @jax.jit
     def f_gather(pre, b):
-        return pack_entries(pre)[b.gidx_sorted]
+        perm_ext = jnp.concatenate(
+            [b.perm, jnp.full((1,), pre.mean2d.shape[0], jnp.int32)])
+        return pack_entries(pre)[perm_ext][b.gidx_sorted]
     entries = f_gather(pre, b)
     timeit("pack+gather", f_gather, pre, b)
 

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# On-chip regression gate: the automated pass that the CPU pytest suite
+# cannot provide (Pallas kernels run in interpret mode there). Run after
+# any change to ops/, parallel/ or train/:
+#
+#   bash tools/tpu_ci.sh
+#
+# Serializes all chip jobs (two at once contend and both time out) and
+# fails on the first broken stage. Stages:
+#   1. drive_render pallas — image + grads, cross-checked against the XLA
+#      compositor's numbers from stage 2 inside each drive's assertions
+#   2. drive_render xla
+#   3. drive_train 300 — full train loop, train AND held-out PSNR must climb
+#   4. bench.py — throughput gate: vs_baseline must stay >= MIN_VS_BASELINE
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export PYTHONPATH="$PWD:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+TIMEOUT="${TPU_CI_TIMEOUT:-1100}"
+MIN_VS="${MIN_VS_BASELINE:-1.0}"
+
+run() {
+  echo "=== $* ==="
+  timeout "$TIMEOUT" python -u "$@"
+}
+
+run tools/drive_render.py pallas
+run tools/drive_render.py xla
+run tools/drive_train.py 300
+
+echo "=== bench.py (gate: vs_baseline >= $MIN_VS) ==="
+out=$(timeout "$TIMEOUT" python -u bench.py | tail -1)
+echo "$out"
+python - "$out" "$MIN_VS" <<'EOF'
+import json, sys
+rec = json.loads(sys.argv[1])
+assert rec["vs_baseline"] >= float(sys.argv[2]), \
+    f"throughput regression: {rec['vs_baseline']} < {sys.argv[2]}"
+print(f"throughput OK: {rec['value']:.3e} {rec['unit']} "
+      f"({rec['vs_baseline']}x baseline)")
+EOF
+echo "TPU CI: all stages passed"
