@@ -190,6 +190,167 @@ def make_sharded_render(mesh: Mesh, *, image_width: int, image_height: int,
     return fn
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_grad(x, axis):
+    """Identity whose backward psums the cotangent over ``axis``. Applied to
+    inputs that are replicated over a mesh axis but receive DIFFERENT
+    cotangents per shard (camera-DP over the sharded step): without the
+    explicit reduction the shard_map transpose would pick an arbitrary
+    copy."""
+    return x
+
+
+def _psum_grad_fwd(x, axis):
+    return x, None
+
+
+def _psum_grad_bwd(axis, _, g):
+    return (jax.lax.psum(g, axis),)
+
+
+_psum_grad.defvjp(_psum_grad_fwd, _psum_grad_bwd)
+
+
+def make_sharded_dp_train_step(mesh: Mesh, *, image_width: int,
+                               image_height: int, opt: OptimizationConfig,
+                               rcfg: RasterizerConfig,
+                               spatial_lr_scale: float,
+                               antialiasing: bool = False,
+                               use_sparse_adam: bool = False,
+                               train_test_exp: bool = False,
+                               use_depth: bool = False,
+                               axis: str = "prim", data_axis: str = "data",
+                               interpret: bool = False):
+    """The 2D-mesh step: camera data-parallelism COMPOSED with gaussian-
+    sharded storage. Each (data, prim) device renders its camera's tile
+    rows from its parameter rows; gradients reduce over BOTH axes (psum
+    over ``data``, reduce-scatter over ``prim``). Densification statistics
+    follow the camera-DP semantics (per-view grad norms summed, visit
+    counts summed, radii maxed — parallel/dp.py).
+
+    Signature matches make_sharded_train_step but camera/image inputs carry
+    a leading batch dim of mesh.shape[data_axis]."""
+    n_prim = mesh.shape[axis]
+    n_data = mesh.shape[data_axis]
+    W, H = image_width, image_height
+    th = rcfg.tile_h
+    n_tiles_y = -(-H // th)
+    n_tiles_y_pad = -(-n_tiles_y // n_prim) * n_prim
+
+    def step(state: "trainer.TrainState", cam: CameraView, gt_image,
+             alpha_mask, invdepth_gt, depth_mask, bg):
+        g = state.gaussians
+        cap = g.capacity
+        stepc = state.step + 1
+        m_loc = -(-int(cap * rcfg.pairs_per_gaussian * 1.5 / n_prim)
+                  // rcfg.chunk) * rcfg.chunk
+        depth_w = expon_lr(stepc, opt.depth_l1_weight_init,
+                           opt.depth_l1_weight_final, max_steps=opt.iterations)
+
+        base_fn = functools.partial(
+            _render_shard_fn, axis=axis, n_dev=n_prim, W=W, H=H,
+            n_tiles_y_pad=n_tiles_y_pad, cfg=rcfg, m_cap_loc=m_loc,
+            antialiasing=antialiasing, interpret=interpret)
+
+        def shard_fn(trainables_loc, active_loc, sh_degree, tap_slice, cam):
+            # replicated over data, but per-camera cotangents differ →
+            # explicit data-psum in the backward
+            trainables_loc = jax.tree_util.tree_map(
+                lambda v: _psum_grad(v, data_axis), trainables_loc)
+            cam1 = jax.tree_util.tree_map(lambda x: x[0], cam)
+            slab, radius_loc, num_pairs, overflow = base_fn(
+                trainables_loc, active_loc, sh_degree, tap_slice[0], cam1)
+            return (slab[None], radius_loc[None],
+                    jax.lax.psum(num_pairs, data_axis),
+                    jax.lax.pmax(overflow, data_axis))
+
+        render_fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(data_axis, axis),
+                      P(data_axis)),
+            out_specs=(P(data_axis), P(data_axis, axis), P(), P()),
+            check_vma=False)
+
+        def loss_fn(trainables, exposure_all, tap):
+            slabs, radii_b, num_pairs, overflow = render_fn(
+                trainables, g.active, g.active_sh_degree, tap, cam)
+            image = slabs[:, :3] + slabs[:, 4:5] * bg[None, :, None, None]
+            if train_test_exp:
+                idx = cam.exposure_idx                      # (B,)
+                exp_b = jnp.where(
+                    (idx >= 0)[:, None, None],
+                    exposure_all[jnp.maximum(idx, 0)],
+                    jnp.eye(3, 4, dtype=exposure_all.dtype)[None])
+                image = jnp.einsum("bchw,bck->bkhw", image, exp_b[:, :3, :3],
+                                   precision=jax.lax.Precision.HIGHEST) \
+                    + exp_b[:, :3, 3, None, None]
+            image = jnp.clip(image, 0.0, 1.0) * alpha_mask
+            l1 = jnp.mean(jnp.abs(image - gt_image))
+            ssim_v = jnp.mean(jax.vmap(losses.ssim)(image, gt_image))
+            loss = (1.0 - opt.lambda_dssim) * l1 \
+                + opt.lambda_dssim * (1.0 - ssim_v)
+            dl1 = jnp.abs((slabs[:, 3:4] - invdepth_gt) * depth_mask).mean()
+            loss = loss + jnp.where(depth_w > 0, depth_w * dl1, 0.0) * use_depth
+            return loss, (l1, dl1, radii_b, num_pairs, overflow)
+
+        tap0 = jnp.zeros((n_data, cap, 2), jnp.float32)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                     has_aux=True)
+        (loss, (l1, dl1, radii_b, num_pairs, overflow)), \
+            (grads, exp_grads, tap_grad) = grad_fn(
+                gm.trainables(g), state.exposure, tap0)
+        act = g.active
+        grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
+                 for k, v in grads.items()}
+
+        # camera-DP densification statistics (parallel/dp.py semantics):
+        # per-view screen-space grad norms and visit counts sum over the
+        # batch, radii take the max. The mean-loss 1/B scale on tap_grad is
+        # undone so each view contributes its full-gradient norm, matching
+        # the reference's one-view-per-step accumulation.
+        vis_b = radii_b > 0                                   # (B, CAP)
+        gnorm_b = jnp.linalg.norm(tap_grad, axis=-1) * n_data  # (B, CAP)
+        accum_inc = jnp.sum(jnp.where(vis_b, gnorm_b, 0.0), axis=0)
+        denom_inc = jnp.sum(vis_b.astype(jnp.float32), axis=0)
+        radii_max = jnp.max(radii_b, axis=0)
+        in_densify = stepc < opt.densify_until_iter
+        stats = jax.lax.cond(
+            in_densify,
+            lambda s: densify_lib.DensifyStats(
+                xyz_gradient_accum=s.xyz_gradient_accum + accum_inc,
+                denom=s.denom + denom_inc,
+                max_radii2d=jnp.maximum(s.max_radii2d, radii_max)),
+            lambda s: s, state.stats)
+
+        lrs = trainer._lr_dict(opt, stepc, spatial_lr_scale)
+        vis = (denom_inc > 0) if use_sparse_adam else None
+        new_trainables, adam = optim.apply_updates(
+            gm.trainables(g), grads, state.adam, lrs, visibility_mask=vis)
+        exp_lr = expon_lr(stepc, opt.exposure_lr_init, opt.exposure_lr_final,
+                          lr_delay_steps=opt.exposure_lr_delay_steps,
+                          lr_delay_mult=opt.exposure_lr_delay_mult,
+                          max_steps=opt.iterations)
+        new_exp, exp_adam = optim.apply_updates(
+            {"exposure": state.exposure}, {"exposure": exp_grads},
+            state.exp_adam, {"exposure": exp_lr})
+
+        g2 = gm.with_trainables(g, new_trainables)
+        g2 = dataclasses.replace(
+            g2, active_sh_degree=jnp.where(
+                (stepc % 1000 == 0) & (g2.active_sh_degree < g.max_sh_degree),
+                g2.active_sh_degree + 1, g2.active_sh_degree))
+
+        new_state = trainer.TrainState(
+            gaussians=g2, adam=adam, exposure=new_exp["exposure"],
+            exp_adam=exp_adam, stats=stats, step=stepc)
+        aux = trainer.StepAux(loss=loss, l1=l1, depth_l1=dl1,
+                              num_pairs=num_pairs, overflow=overflow,
+                              radii=radii_max)
+        return new_state, aux
+
+    return jax.jit(step)
+
+
 def make_sharded_train_step(mesh: Mesh, *, image_width: int,
                             image_height: int, opt: OptimizationConfig,
                             rcfg: RasterizerConfig,

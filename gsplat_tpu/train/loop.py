@@ -74,39 +74,58 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
     n_dev = len(jax.devices())
     dp_steps = {}
     dp_mesh = None
-    if data_parallel and n_dev > 1:
+    mesh_2d = None
+    data_batch = 0           # cameras per step on the data axis (0 = one)
+    if data_parallel and not shard_gaussians and n_dev > 1:
         from gsplat_tpu.parallel import dp as dp_lib
         from gsplat_tpu.parallel.mesh import make_mesh
         dp_mesh = make_mesh((("data", n_dev),))
+        data_batch = n_dev
         print(f"camera data-parallel training over {n_dev} devices")
 
     # ---- gaussian-sharded storage (new capability; parallel/sharded.py) --
     # Params/Adam/stats live row-sharded over a ``prim`` mesh; the step
     # shards binning + compositing by tile rows too. Densify/reset/grow run
     # through the same jitted fns — GSPMD repartitions their row-wise ops.
+    # With --data_parallel TOO, the mesh is 2D (data x prim): one camera
+    # per data shard against the prim-sharded parameters.
     prim_mesh = None
     if shard_gaussians and n_dev > 1:
-        assert not data_parallel, \
-            "--shard_gaussians and --data_parallel are separate axes (a " \
-            "2D mesh combining them is future work)"
         from gsplat_tpu.parallel import sharded as sharded_lib
         from gsplat_tpu.parallel.mesh import make_mesh
-        prim_mesh = make_mesh((("prim", n_dev),))
-        cap_div = _round_up(state.gaussians.capacity, n_dev)
+        if data_parallel:
+            assert n_dev >= 4 and n_dev % 2 == 0, \
+                "data x prim mesh needs >= 4 devices"
+            data_batch = 2
+            n_prim = n_dev // data_batch
+            mesh_2d = make_mesh((("data", data_batch), ("prim", n_prim)))
+            shard_mesh = mesh_2d
+        else:
+            n_prim = n_dev
+            prim_mesh = make_mesh((("prim", n_dev),))
+            shard_mesh = prim_mesh
+        cap_div = _round_up(state.gaussians.capacity, n_prim)
         state = ckpt_lib.grow_capacity(state, cap_div)
-        state = sharded_lib.shard_state(state, prim_mesh)
-        print(f"gaussian-sharded training over {n_dev} devices "
-              f"({state.gaussians.capacity // n_dev} rows/chip)")
+        state = sharded_lib.shard_state(state, shard_mesh)
+        print(f"gaussian-sharded training over {n_prim} devices"
+              + (f" x {data_batch} camera-DP" if mesh_2d is not None else "")
+              + f" ({state.gaussians.capacity // n_prim} rows/chip)")
 
     def _sharded_step_for(W, H):
         if (W, H) not in dp_steps:
             from gsplat_tpu.parallel import sharded as sharded_lib
-            dp_steps[(W, H)] = sharded_lib.make_sharded_train_step(
-                prim_mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
-                spatial_lr_scale=spatial_lr_scale,
-                antialiasing=pipe.antialiasing,
-                use_sparse_adam=use_sparse_adam,
-                train_test_exp=dataset.train_test_exp, use_depth=use_depth)
+            kw = dict(image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                      spatial_lr_scale=spatial_lr_scale,
+                      antialiasing=pipe.antialiasing,
+                      use_sparse_adam=use_sparse_adam,
+                      train_test_exp=dataset.train_test_exp,
+                      use_depth=use_depth)
+            if mesh_2d is not None:
+                dp_steps[(W, H)] = sharded_lib.make_sharded_dp_train_step(
+                    mesh_2d, **kw)
+            else:
+                dp_steps[(W, H)] = sharded_lib.make_sharded_train_step(
+                    prim_mesh, **kw)
         return dp_steps[(W, H)]
 
     def _dp_step_for(W, H):
@@ -166,7 +185,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         else:
             bg = bg_color
 
-        if dp_mesh is not None:
+        if data_batch > 1:
             # fill the batch with same-resolution cameras (with replacement
             # if the stack runs dry mid-batch); remove by identity — Camera
             # holds numpy arrays, so == is not usable
@@ -174,10 +193,10 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             rest_idx = [i for i, c in enumerate(viewpoint_stack)
                         if (c.width, c.height) == (W, H)]
             random.shuffle(rest_idx)
-            taken = sorted(rest_idx[:n_dev - 1], reverse=True)
+            taken = sorted(rest_idx[:data_batch - 1], reverse=True)
             for i in taken:
                 batch.append(viewpoint_stack.pop(i))
-            while len(batch) < n_dev:
+            while len(batch) < data_batch:
                 batch.append(random.choice(
                     [c for c in scene.getTrainCameras()
                      if (c.width, c.height) == (W, H)]))
@@ -187,10 +206,12 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             gt_b, am_b, iv_b, dm_b = (
                 jnp.asarray(np.stack([a[i] for a in arrays]))
                 for i in range(4))
+            step_for = _dp_step_for if dp_mesh is not None \
+                else _sharded_step_for     # 2D data x prim mesh
 
             def run_step(s):
-                return _dp_step_for(W, H)(s, cam_b, gt_b, am_b, iv_b,
-                                          dm_b, bg)
+                return step_for(W, H)(s, cam_b, gt_b, am_b, iv_b,
+                                      dm_b, bg)
         elif prim_mesh is not None:
             gt, amask, inv_gt, dmask = (jnp.asarray(a)
                                         for a in _cam_arrays(cam))

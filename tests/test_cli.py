@@ -190,3 +190,20 @@ def test_train_cli_shard_gaussians(tmp_path, rng):
     rows_mu = {s.data.shape[0]
                for s in state.adam.mu["xyz"].addressable_shards}
     assert rows_mu == {cap // 8}
+
+
+def test_train_cli_2d_mesh(tmp_path, rng):
+    """--data_parallel --shard_gaussians together: the 2D (data x prim)
+    mesh loop path — 2 cameras per step against prim-sharded parameters."""
+    from gsplat_tpu.cli import train as train_cli
+    src = _make_colmap_scene(str(tmp_path / "scene"), n_pts=60, n_cams=4,
+                             W=32, H=32, rng=rng)
+    model = str(tmp_path / "model_2d")
+    train_cli.main([
+        "--source_path", src, "--model_path", model,
+        "--iterations", "3", "--sh_degree", "0",
+        "--test_iterations", "-1", "--save_iterations", "3",
+        "--disable_viewer", "--quiet", "--data_parallel",
+        "--shard_gaussians"])
+    assert os.path.exists(
+        os.path.join(model, "point_cloud/iteration_3/point_cloud.ply"))

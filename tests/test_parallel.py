@@ -299,3 +299,56 @@ def test_sharded_storage_train_step_matches_single(rng):
     shard_shapes = {s.data.shape[0] for s in
                     state_s.adam.mu["xyz"].addressable_shards}
     assert shard_shapes == {128 // N_DEV}
+
+
+def test_sharded_dp_2d_mesh_step_matches_single(rng):
+    """The 2D mesh: camera DP (data axis) composed with gaussian-sharded
+    storage (prim axis). With identical cameras on every data shard, one
+    step equals the single-chip step (psum-mean of identical grads), while
+    params/moments stay at CAP/4 rows per chip and densify stats follow
+    camera-DP semantics (denom = batch size x single-view denom)."""
+    from gsplat_tpu.parallel import sharded
+    W, H = TILE_W, 8 * TILE_H
+    g, cam = make_scene(rng, n=100, cap=128)
+    rcfg = cfg()
+    opt = OptimizationConfig()
+    mesh = make_mesh((("data", 2), ("prim", 4)))
+
+    state0 = trainer.init_state(g, 1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    ones = jnp.ones((1, H, W), jnp.float32)
+    zeros = jnp.zeros((1, H, W), jnp.float32)
+    bg = jnp.zeros(3)
+
+    state_sh = sharded.shard_state(state0, mesh)
+    step_fn = sharded.make_sharded_dp_train_step(
+        mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+        spatial_lr_scale=1.0)
+    B = 2
+    cam_b = dp.stack_camera_batch([cam] * B)
+    gt_b = jnp.tile(gt[None], (B, 1, 1, 1))
+    ones_b = jnp.tile(ones[None], (B, 1, 1, 1))
+    zeros_b = jnp.tile(zeros[None], (B, 1, 1, 1))
+    state_s, aux_s = step_fn(state_sh, cam_b, gt_b, ones_b, zeros_b,
+                             zeros_b, bg)
+
+    state_1, aux_1 = trainer.train_step(
+        state0, cam, gt, ones, zeros, zeros, bg, image_width=W,
+        image_height=H, opt=opt, rcfg=rcfg, spatial_lr_scale=1.0,
+        antialiasing=False, use_sparse_adam=False, train_test_exp=False,
+        use_depth=False)
+
+    np.testing.assert_allclose(float(aux_s.loss), float(aux_1.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_s.gaussians.xyz),
+                               np.asarray(state_1.gaussians.xyz),
+                               rtol=1e-3, atol=5e-4)
+    # DP stats semantics: 2 views visited -> denom 2x single-view
+    np.testing.assert_allclose(np.asarray(state_s.stats.denom),
+                               2 * np.asarray(state_1.stats.denom))
+    np.testing.assert_allclose(np.asarray(state_s.stats.xyz_gradient_accum),
+                               2 * np.asarray(state_1.stats.xyz_gradient_accum),
+                               rtol=1e-3, atol=1e-6)
+    rows = {s.data.shape[0]
+            for s in state_s.adam.mu["xyz"].addressable_shards}
+    assert rows == {128 // 4}, f"moments not prim-sharded: {rows}"
