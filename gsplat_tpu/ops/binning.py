@@ -191,6 +191,11 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
     # --- the entry sort ---
+    # (An alignment-free compositor — per-visit tables instead of padded
+    # per-tile ranges — was scoped out: its static visit grid needs
+    # m_cap/G + 2T steps vs the aligned m_cap/G + T, and the extra T steps'
+    # fixed cost cancels the padding savings. The chunk-aligned layout
+    # stays.)
     if sort_gaussians:
         gbits = int(n).bit_length()                    # holds sentinel n too
         if ((n_tiles << gbits) | n) < 2 ** 31:

@@ -64,7 +64,12 @@ def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
              sigma: float = 1.5, c1: float = 0.01 ** 2,
              c2: float = 0.03 ** 2) -> jnp.ndarray:
-    """Per-pixel SSIM map; inputs (..., C, H, W) in [0,1]."""
+    """Per-pixel SSIM map; inputs (..., C, H, W) in [0,1].
+
+    (Blurring the five window statistics as one stacked tensor was measured
+    2x SLOWER on-chip — 15.7 vs 7.5 ms fwd+bwd at 1080p: XLA already fuses
+    the five separate blur chains, and the stacked concat materializes a
+    (5C,H,W) intermediate that breaks that fusion. Keep them separate.)"""
     mu1 = _blur(img1, window_size, sigma)
     mu2 = _blur(img2, window_size, sigma)
     mu1_sq = mu1 * mu1
