@@ -25,10 +25,15 @@ class CompositeOut(NamedTuple):
     n_contrib: jnp.ndarray  # (T, P) int32 1 + index of last contributor
 
 
-def _chunk_update(chunk_data, valid, carry, px, py, base_rank, *,
+def _chunk_update(chunk_data, valid, carry, px, py, base_rank, t_init, *,
                   alpha_min, alpha_max, t_eps):
     """Shared one-chunk compositing math. Shapes: chunk_data (T,G,16),
-    valid (T,G) bool, px/py (T,1,P), carry = (accum, T_in, done, nc)."""
+    valid (T,G) bool, px/py (T,1,P), carry = (accum, T_in, done, nc).
+
+    ``t_init`` (T,1,P) is the transmittance ARRIVING from everything nearer
+    than this entry list (depth-slab sharding's exact-cut carry): it scales
+    the early-termination test only — accumulation stays in unit-T space so
+    the sharded merge keeps its differentiable form."""
     accum, t_in, done_in, nc_in = carry
     G = chunk_data.shape[1]
 
@@ -53,7 +58,7 @@ def _chunk_update(chunk_data, valid, carry, px, py, base_rank, *,
     t_excl = t_in * jnp.concatenate(
         [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)   # (T,G,P)
     test_t = t_excl * one_m
-    cross = (a1 > 0) & (test_t < t_eps)
+    cross = (a1 > 0) & (t_init * test_t < t_eps)
     done_incl = done_in | (jnp.cumsum(cross.astype(jnp.int32), axis=1) > 0)
     contrib = (a1 > 0) & ~done_incl
 
@@ -85,7 +90,7 @@ def composite_tiles_xla(entries: jnp.ndarray,     # (M, 16) packed
                         alpha_min: float = 1.0 / 255.0,
                         alpha_max: float = 0.99, t_eps: float = 1e-4,
                         max_chunks: int | None = None,
-                        tile_id_base=0) -> CompositeOut:
+                        tile_id_base=0, t_init=None) -> CompositeOut:
     """Vectorized over all tiles, lax.scan over entry chunks.
 
     O(T·max_chunks·G·P) — intended for tests/small scenes; the Pallas kernel
@@ -109,6 +114,10 @@ def composite_tiles_xla(entries: jnp.ndarray,     # (M, 16) packed
             jnp.ones((T, 1, P), jnp.float32),
             jnp.zeros((T, 1, P), bool),
             jnp.zeros((T, P), jnp.int32))
+    if t_init is None:
+        t_init_b = jnp.ones((T, 1, P), jnp.float32)
+    else:
+        t_init_b = jax.lax.stop_gradient(t_init).reshape(T, 1, P)
 
     @jax.checkpoint
     def step(carry, i):
@@ -119,6 +128,7 @@ def composite_tiles_xla(entries: jnp.ndarray,     # (M, 16) packed
         chunk_data = entries[idx]                               # (T,G,16)
         base_rank = i * G + g[None, :].repeat(T, 0)             # (T,G)
         carry = _chunk_update(chunk_data, valid, carry, px, py, base_rank,
+                              t_init_b,
                               alpha_min=alpha_min, alpha_max=alpha_max,
                               t_eps=t_eps)
         return carry, None

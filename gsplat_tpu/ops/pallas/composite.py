@@ -120,6 +120,7 @@ def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
+                tinit_ref,
                 accum_ref, tfinal_ref, nc_ref,
                 st_t, st_done, *,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
@@ -156,8 +157,13 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
             jnp.dot(_tri_lower(G, strict=True), lg,
                     preferred_element_type=jnp.float32))      # (G,P)
         # early-termination cut: contributions stop AT the first sublane
-        # where the post-commit transmittance would cross t_eps (CUDA parity)
-        cross = (a1 > 0.0) & (t_excl * (1.0 - a1) < t_eps)
+        # where the post-commit GLOBAL transmittance would cross t_eps
+        # (CUDA parity). tinit is the transmittance arriving from nearer
+        # depth slabs (1 everywhere single-chip); it scales the cut test
+        # only — accumulation stays unit-T so the sharded merge stays
+        # differentiable.
+        t_arr = tinit_ref[0]                                  # (1,P)
+        cross = (a1 > 0.0) & (t_arr * t_excl * (1.0 - a1) < t_eps)
         first_cross = jnp.min(jnp.where(cross, g_iota, G), axis=0,
                               keepdims=True)                  # (1,P)
         contrib = (a1 > 0.0) & (g_iota < first_cross) & jnp.logical_not(done)
@@ -182,16 +188,20 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
             st_done[:] = jnp.full((1, P), 2.0)
 
 
-def _composite_fwd_call(entries, tile_start, tile_count, tile_base, *,
-                        n_tiles_x, n_tiles_y, tile_h, tile_w, chunk,
+def _composite_fwd_call(entries, tile_start, tile_count, tile_base, t_init,
+                        *, n_tiles_x, n_tiles_y, tile_h, tile_w, chunk,
                         alpha_min, alpha_max, t_eps, interpret):
     """entries: (M, 16) packed rows, with per-tile ranges aligned to `chunk`
-    (binning align=chunk)."""
+    (binning align=chunk). t_init: (T, P) incoming transmittance for the
+    early-out test (depth-slab sharding), ones for single-chip."""
     T = n_tiles_x * n_tiles_y
     P = tile_h * tile_w
     G = chunk
     M = entries.shape[0]
     n_chunks = M // G
+
+    tinit_pad = jnp.concatenate(
+        [t_init.reshape(T, 1, P), jnp.ones((1, 1, P), jnp.float32)])
 
     ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
                                   chunk=G, n_chunks=n_chunks)
@@ -206,6 +216,8 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, *,
         in_specs=[
             pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM),            # t_init
         ],
         out_specs=(
             pl.BlockSpec((1, 4, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
@@ -231,7 +243,7 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, tile_base, entries)
+    )(ct, rank0, cnt, tile_base, entries, tinit_pad)
     # empty tiles are never visited by any chunk — their rows are
     # uninitialized; mask them to the empty-tile state.
     empty = (tile_count == 0)
@@ -403,16 +415,20 @@ class _Static(NamedTuple):
     interpret: bool
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _composite(entries, tile_start, tile_count, tile_base, static):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _composite(entries, tile_start, tile_count, tile_base, t_init, static):
     accum, t_final, nc = _composite_fwd_call(
-        entries, tile_start, tile_count, tile_base, **static._asdict())
+        entries, tile_start, tile_count, tile_base, t_init,
+        **static._asdict())
     return accum, t_final, nc
 
 
-def _composite_fwd(entries, tile_start, tile_count, tile_base, static):
+def _composite_fwd(entries, tile_start, tile_count, tile_base, t_init,
+                   static):
     accum, t_final, nc = _composite_fwd_call(
-        entries, tile_start, tile_count, tile_base, **static._asdict())
+        entries, tile_start, tile_count, tile_base, t_init,
+        **static._asdict())
+    # the backward needs no t_init: n_contrib already encodes the cut
     return (accum, t_final, nc), (entries, tile_start, tile_count,
                                   tile_base, accum, t_final, nc)
 
@@ -423,7 +439,7 @@ def _composite_bwd(static, res, cot):
     d_entries = _composite_bwd_call(
         entries, tile_start, tile_count, tile_base, accum, t_final, nc,
         g_accum, g_t, **static._asdict())
-    return d_entries, None, None, None
+    return d_entries, None, None, None, None
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -433,7 +449,7 @@ def composite_tiles_pallas(entries, tile_start, tile_count, *, n_tiles_x,
                            n_tiles_y, tile_h, tile_w, chunk=128,
                            alpha_min=1.0 / 255.0, alpha_max=0.99,
                            t_eps=1e-4, interpret=False,
-                           tile_id_base=0) -> CompositeOut:
+                           tile_id_base=0, t_init=None) -> CompositeOut:
     """entries: (M, 16) packed rows with chunk-aligned per-tile ranges
     (ops/binning.bin_gaussians(align=chunk)). Returns the same contract as
     the XLA oracle: accum (T,4,P), t_final (T,P), n_contrib (T,P)."""
@@ -442,8 +458,11 @@ def composite_tiles_pallas(entries, tile_start, tile_count, *, n_tiles_x,
                      tile_w=tile_w, chunk=chunk, alpha_min=alpha_min,
                      alpha_max=alpha_max, t_eps=t_eps, interpret=interpret)
     base = jnp.reshape(jnp.asarray(tile_id_base, jnp.int32), (1,))
+    P0 = tile_h * tile_w
+    if t_init is None:
+        t_init = jnp.ones((T, P0), jnp.float32)
     accum, t_final, nc = _composite(entries, tile_start, tile_count, base,
-                                    static)
+                                    jax.lax.stop_gradient(t_init), static)
     P = tile_h * tile_w
     return CompositeOut(accum=accum,
                         t_final=t_final.reshape(T, P),

@@ -123,11 +123,13 @@ _gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 def composite_dispatch(entries, tile_start, tile_count,
                        cfg: RasterizerConfig, *, n_tiles_x: int,
-                       n_tiles_y: int, tile_id_base=0, interpret=False):
+                       n_tiles_y: int, tile_id_base=0, interpret=False,
+                       t_init=None):
     """Route to the Pallas kernel or the pure-XLA oracle compositor.
 
     cfg.use_pallas: "auto" picks Pallas on TPU; bools are accepted from
-    library callers."""
+    library callers. ``t_init`` (T,P): transmittance arriving from nearer
+    depth slabs, scaling the early-out test only (prim_shard exact cut)."""
     up = cfg.use_pallas
     if isinstance(up, str):
         up = (jax.default_backend() == "tpu") if up == "auto" else (up == "on")
@@ -138,13 +140,13 @@ def composite_dispatch(entries, tile_start, tile_count,
             n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=cfg.tile_h,
             tile_w=cfg.tile_w, chunk=cfg.chunk, alpha_min=cfg.alpha_min,
             alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
-            interpret=interpret, tile_id_base=tile_id_base)
+            interpret=interpret, tile_id_base=tile_id_base, t_init=t_init)
     return composite_ref.composite_tiles_xla(
         entries, tile_start, tile_count,
         n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=cfg.tile_h,
         tile_w=cfg.tile_w, chunk=cfg.chunk, alpha_min=cfg.alpha_min,
         alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
-        tile_id_base=tile_id_base)
+        tile_id_base=tile_id_base, t_init=t_init)
 
 
 def _tiles_to_image(tiles: jnp.ndarray, n_tiles_y: int, n_tiles_x: int,

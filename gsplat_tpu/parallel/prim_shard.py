@@ -23,8 +23,11 @@ v1 strategy (single-camera render):
 
 The fold is differentiable; gradients flow back through each chip's own
 segment, so a backward pass psums parameter grads over the axis exactly like
-camera-DP. Parameter-sharded storage (>HBM scenes) composes with this by
-all_gather-ing slab rows instead of masking — planned follow-up.
+camera-DP. Early-termination parity comes from a two-pass transmittance
+carry (see ``render_prim_sharded``'s ``exact_cut``). For parameter-sharded
+STORAGE (>HBM scenes) see ``parallel/sharded.py`` — the flagship axis,
+which shards by tile rows instead of depth slabs and is exact by
+construction.
 """
 from __future__ import annotations
 
@@ -65,23 +68,28 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
                         bg_color: jnp.ndarray, cfg: RasterizerConfig,
                         mesh: Mesh, axis: str = "prim", *,
                         antialiasing: bool = False,
-                        m_cap: int | None = None, interpret: bool = False):
+                        m_cap: int | None = None, interpret: bool = False,
+                        exact_cut: bool = True):
     """Render with primitives depth-slab-sharded over mesh[axis].
 
     Returns (image (3,H,W), invdepth (1,H,W), overflow ()). ``overflow`` is
     the pmax over chips of dropped pairs: depth slabs can be load-imbalanced
     against the per-chip m_cap, and a truncated slab's image is garbage by
     the binning contract — callers must check it and grow-and-retry exactly
-    like the single-chip path. The merge itself is exact;
-    the one semantic divergence from the single-chip renderer is the
-    early-termination heuristic (T·(1−α) < 1e-4 before committing, CUDA
-    parity): each slab starts at local T=1, so far slabs keep compositing
-    (correctly) where the single-chip pass had already cut out — pixel
-    differences are bounded by the transmittance at the cut (≲1e-2·α on
-    nearly saturated pixels). Reproducing the cut exactly would require a
-    sequential T carry chip→chip (a ring pipeline — planned variant).
-    m_cap is the PER-CHIP pair-list capacity (the scaling win: each chip
-    bins/sorts/composites only ~1/n_dev of the pairs).
+    like the single-chip path.
+
+    With ``exact_cut`` (default) the early-termination semantics match the
+    single-chip renderer to the cut's own magnitude: a first CUT-FREE
+    transmittance pass per slab is all_gathered, the exclusive product
+    gives each slab the transmittance ARRIVING from nearer slabs, and the
+    second (real) pass feeds it to the compositor's cut test — the
+    contribution sets then agree with single-chip compositing except for
+    sub-eps tails. Costs one extra forward composite per slab;
+    ``exact_cut=False`` restores the single-pass behavior, whose cut
+    diverges by up to ~1e-2 on nearly saturated pixels (each slab restarts
+    at local T=1). The merge itself is exact either way. m_cap is the
+    PER-CHIP pair-list capacity (the scaling win: each chip bins/sorts/
+    composites only ~1/n_dev of the pairs).
     """
     W, H = image_width, image_height
     th, tw = cfg.tile_h, cfg.tile_w
@@ -122,9 +130,27 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
         from gsplat_tpu.ops.rasterize import _gather_entries
         entries = _gather_entries(packed, b.gidx_sorted, b.inv_src,
                                   b.g_offsets, b.g_counts, m_cap)
+        t_arrive = None
+        if exact_cut:
+            # pass 1: cut-free per-slab transmittance (t_eps=0 disables the
+            # early-out); its exclusive product over nearer slabs is the
+            # transmittance each pixel arrives with — fed to pass 2's cut
+            # test for single-chip-parity termination.
+            import dataclasses as _dc
+            pre_pass = composite_dispatch(
+                jax.lax.stop_gradient(entries), b.tile_start, b.tile_count,
+                _dc.replace(cfg, transmittance_eps=0.0),
+                n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y,
+                interpret=interpret)
+            t_nocut = jax.lax.all_gather(
+                jax.lax.stop_gradient(pre_pass.t_final), axis)  # (D,T,P)
+            t_arrive = jnp.cumprod(jnp.concatenate(
+                [jnp.ones_like(t_nocut[:1]), t_nocut[:-1]], axis=0),
+                axis=0)[jax.lax.axis_index(axis)]               # (T,P)
         out = composite_dispatch(
             entries, b.tile_start, b.tile_count, cfg,
-            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, interpret=interpret)
+            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, interpret=interpret,
+            t_init=t_arrive)
         # ordered segment merge: all_gather (k-major = near-to-far), fold
         seg_a = jax.lax.all_gather(out.accum, axis)       # (n_dev,T,4,P)
         seg_t = jax.lax.all_gather(out.t_final, axis)     # (n_dev,T,P)

@@ -5,6 +5,7 @@ This is SURVEY.md §4b: kernel tests against a pure-jnp reference renderer,
 plus gradient checks on tiny scenes (BASELINE config 1 scale).
 """
 import dataclasses
+import functools
 
 import numpy as np
 import pytest
@@ -213,3 +214,58 @@ def test_python_path_overrides_match_builtin(rng):
                  cov3d_precomp=g.get_covariance())
     np.testing.assert_allclose(np.asarray(alt.image), np.asarray(base.image),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_t_init_cut_matches_oracle(rng):
+    """The incoming-transmittance carry (prim_shard exact cut): both
+    compositors must apply a nontrivial t_init to the early-out test
+    identically — forward and backward."""
+    W, H = TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=200)
+    c = cfg()
+    pre = pre_lib.preprocess(
+        g.xyz, g.get_scaling(), g.get_rotation(), g.get_opacity(),
+        g.get_features(), g.active_sh_degree, cam, W, H,
+        active_mask=g.active)
+    m_cap = -(-int(200 * 24) // c.chunk) * c.chunk
+    b = binning_lib.bin_gaussians(
+        jax.lax.stop_gradient(pre.mean2d), jax.lax.stop_gradient(pre.depth),
+        jax.lax.stop_gradient(pre.radius), image_width=W, image_height=H,
+        tile_h=TILE_H, tile_w=TILE_W, m_cap=m_cap, align=c.chunk)
+    entries0 = rasterize.pack_entries(pre)[b.gidx_sorted]
+    T = 2
+    P = TILE_H * TILE_W
+    # near-saturating incoming transmittance forces the cut to fire early
+    t_init = jnp.asarray(
+        rng.uniform(1e-5, 0.3, (T, P)).astype(np.float32))
+
+    from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
+    from gsplat_tpu.ops.composite_ref import composite_tiles_xla
+
+    def run(fn, e):
+        out = fn(e, b.tile_start, b.tile_count, n_tiles_x=1, n_tiles_y=2,
+                 tile_h=TILE_H, tile_w=TILE_W, chunk=c.chunk, t_init=t_init)
+        return out
+
+    out_p = run(functools.partial(composite_tiles_pallas, interpret=True),
+                entries0)
+    out_x = run(composite_tiles_xla, entries0)
+    np.testing.assert_allclose(np.asarray(out_p.accum),
+                               np.asarray(out_x.accum), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_p.n_contrib),
+                                  np.asarray(out_x.n_contrib))
+    # the cut actually fired somewhere (t_init small enough)
+    full = run(composite_tiles_xla,
+               entries0).n_contrib
+    assert (np.asarray(out_x.n_contrib) <= np.asarray(full)).all()
+
+    g_p = jax.grad(lambda e: jnp.sum(run(
+        functools.partial(composite_tiles_pallas, interpret=True),
+        e).accum))(entries0)
+    g_x = jax.grad(lambda e: jnp.sum(run(composite_tiles_xla, e).accum))(
+        entries0)
+    # recompute-based backward vs autodiff: f32 reassociation on the large
+    # unclamped conic gradients of a sum-loss (forward + n_contrib match
+    # exactly above, so the cut semantics themselves are identical)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-2, atol=1e-4)
