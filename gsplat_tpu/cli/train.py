@@ -62,6 +62,8 @@ def main(argv=None):
         "rasterizer": rcfg})
 
     safe_state(args.quiet)
+    from gsplat_tpu.parallel.mesh import init_distributed
+    init_distributed()   # multi-host bring-up (no-op single-host)
     if args.detect_anomaly:
         import jax
         jax.config.update("jax_debug_nans", True)

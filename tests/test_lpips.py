@@ -109,3 +109,41 @@ def test_lpips_matches_torch_oracle(rng, tmp_path):
     finally:
         del os.environ["GSPLAT_LPIPS_WEIGHTS"]
     assert abs(self_d) < 1e-7
+
+
+def test_metrics_cli_reports_finite_lpips_with_weights(tmp_path, rng,
+                                                       monkeypatch):
+    """With GSPLAT_LPIPS_WEIGHTS set, the metrics CLI computes a real LPIPS
+    number (without it the schema stays intact with NaN — the offline-env
+    degradation path covered by test_cli)."""
+    import json
+    from PIL import Image
+    from gsplat_tpu.cli import metrics as metrics_cli
+
+    convs, lins = _random_weights(rng)
+    npz = {}
+    for i, (w, b) in enumerate(convs):
+        npz[f"conv{i}_w"] = w
+        npz[f"conv{i}_b"] = b
+    for j, lin in enumerate(lins):
+        npz[f"lin{j}"] = lin
+    wpath = tmp_path / "w.npz"
+    np.savez(wpath, **npz)
+    monkeypatch.setenv("GSPLAT_LPIPS_WEIGHTS", str(wpath))
+
+    model = tmp_path / "model"
+    rdir = model / "test" / "ours_7" / "renders"
+    gdir = model / "test" / "ours_7" / "gt"
+    rdir.mkdir(parents=True)
+    gdir.mkdir(parents=True)
+    for i in range(2):
+        a = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        b = np.clip(a + rng.integers(-20, 20, a.shape), 0, 255).astype(
+            np.uint8)
+        Image.fromarray(a).save(rdir / f"{i:05d}.png")
+        Image.fromarray(b).save(gdir / f"{i:05d}.png")
+
+    metrics_cli.main(["--model_paths", str(model)])
+    results = json.load(open(model / "results.json"))
+    lp = results["ours_7"]["LPIPS"]
+    assert np.isfinite(lp) and lp > 0, f"LPIPS not computed: {lp}"

@@ -259,3 +259,44 @@ def test_async_checkpoint_manager_roundtrip(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(state2),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_depth_regularization_active(rng):
+    """The scheduled depth-L1 term (reference train.py:129-137): with a
+    depth map supplied, aux.depth_l1 reports the masked inverse-depth error
+    and the loss/update actually depend on it."""
+    from tests.test_rasterize import make_scene, cfg, TILE_H, TILE_W
+    from gsplat_tpu.config import OptimizationConfig
+    from gsplat_tpu.ops.rasterize import render
+    from gsplat_tpu.train import trainer
+
+    W, H = TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=100, cap=128)
+    rcfg = cfg()
+    opt = OptimizationConfig()
+    bg = jnp.zeros(3)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    ones = jnp.ones((1, H, W), jnp.float32)
+    # target inverse depth: a perturbed copy of the model's own render
+    inv_gt = render(g, cam, W, H, bg, rcfg).invdepth + 0.05
+    dmask = jnp.ones((1, H, W), jnp.float32)
+
+    state0 = trainer.init_state(g, 1)
+    common = dict(image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+                  spatial_lr_scale=1.0, antialiasing=False,
+                  use_sparse_adam=False, train_test_exp=False)
+    state_d, aux_d = trainer.train_step(
+        state0, cam, gt, ones, inv_gt, dmask, bg, use_depth=True, **common)
+    state_n, aux_n = trainer.train_step(
+        state0, cam, gt, ones, inv_gt, dmask, bg, use_depth=False, **common)
+
+    assert float(aux_d.depth_l1) > 0.01       # the masked error is reported
+    assert float(aux_d.loss) > float(aux_n.loss)   # weighted term is in loss
+    # and it changes the parameter update (gradients flow through invdepth)
+    assert not np.allclose(np.asarray(state_d.gaussians.xyz),
+                           np.asarray(state_n.gaussians.xyz))
+    # masked-out depth contributes nothing
+    _, aux_m = trainer.train_step(
+        state0, cam, gt, ones, inv_gt, jnp.zeros_like(dmask), bg,
+        use_depth=True, **common)
+    assert float(aux_m.depth_l1) == 0.0
