@@ -95,6 +95,10 @@ def main():
         state, aux = step(state)
     jax.block_until_ready(state.gaussians.xyz)
     dt = time.perf_counter() - t0
+    # the timed steps ran real updates — drift must not have outgrown the
+    # right-sized capacity (truncation would flatter the number)
+    assert int(aux.overflow) == 0, (
+        f"pair list truncated during timing ({int(aux.overflow)} dropped)")
 
     pix_per_s = W * H * iters / dt
     print(json.dumps({

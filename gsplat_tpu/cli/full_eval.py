@@ -36,6 +36,13 @@ def main(argv=None):
                         help="run only these scene names (e.g. garden truck)")
     args, _ = parser.parse_known_args(argv if argv is not None
                                       else sys.argv[1:])
+    if args.scene_subset is not None:
+        known = set(mipnerf360_outdoor_scenes + mipnerf360_indoor_scenes
+                    + tanks_and_temples_scenes + deep_blending_scenes)
+        bad = [s for s in args.scene_subset if s not in known]
+        if bad:
+            parser.error(f"unknown scene(s) {bad}; choose from "
+                         f"{sorted(known)}")
 
     def scenes():
         def keep(s):

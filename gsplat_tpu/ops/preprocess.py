@@ -58,6 +58,7 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
                scaling_modifier: float = 1.0,
                antialiasing: bool = False,
                dilation: float = 0.3,
+               alpha_min: float = 1.0 / 255.0,
                cov3d_precomp: jnp.ndarray | None = None,   # (N,6) optional
                colors_precomp: jnp.ndarray | None = None,  # (N,3) optional
                ) -> Preprocessed:
@@ -166,8 +167,11 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
     # reference rect would composite is ever included beyond it — rect
     # semantics match CUDA's exactly while touching far fewer tiles. The
     # +1e-3 slack absorbs log/exp rounding at the level-set boundary.
+    # the level is the SAME alpha floor the compositor culls at
+    # (cfg.alpha_min) — pairs dropped here are exactly the kernel's zeros
     t_cut = jnp.maximum(
-        2.0 * jnp.log(255.0 * jnp.maximum(opacity_eff, 1e-12)) + 1e-3, 0.0)
+        2.0 * jnp.log(jnp.maximum(opacity_eff, 1e-12) / alpha_min) + 1e-3,
+        0.0)
     rx = jnp.minimum(jnp.ceil(jnp.sqrt(t_cut * jnp.maximum(c00, 0.0))),
                      radius)
     ry = jnp.minimum(jnp.ceil(jnp.sqrt(t_cut * jnp.maximum(c11, 0.0))),

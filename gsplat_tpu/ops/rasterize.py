@@ -196,6 +196,7 @@ def render(gaussians: GaussianParams,
         gaussians.active_sh_degree, cam, W, H,
         active_mask=gaussians.active, scaling_modifier=scaling_modifier,
         antialiasing=antialiasing, dilation=cfg.dilation,
+        alpha_min=cfg.alpha_min,
         cov3d_precomp=cov3d_precomp, colors_precomp=override_color)
 
     if mean2d_tap is not None:

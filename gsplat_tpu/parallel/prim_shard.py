@@ -107,7 +107,7 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
         gaussians.get_opacity(), gaussians.get_features(),
         gaussians.active_sh_degree, cam, W, H,
         active_mask=gaussians.active, antialiasing=antialiasing,
-        dilation=cfg.dilation)
+        dilation=cfg.dilation, alpha_min=cfg.alpha_min)
     bounds = _slab_bounds(jax.lax.stop_gradient(pre.depth),
                           jax.lax.stop_gradient(pre.radius) > 0, n_dev)
     packed = pack_entries(pre)                                   # (N+1,16)

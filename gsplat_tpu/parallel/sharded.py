@@ -92,7 +92,8 @@ def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
         g_loc.xyz, g_loc.get_scaling(), g_loc.get_rotation(),
         g_loc.get_opacity(), g_loc.get_features(), sh_degree, cam, W, H,
         active_mask=active_loc, scaling_modifier=scaling_modifier,
-        antialiasing=antialiasing, dilation=cfg.dilation)
+        antialiasing=antialiasing, dilation=cfg.dilation,
+        alpha_min=cfg.alpha_min)
     if tap_loc is not None:
         tap_px = tap_loc * jnp.array([[0.5 * W, 0.5 * H]], jnp.float32)
         pre = pre._replace(mean2d=pre.mean2d + tap_px)
@@ -299,9 +300,6 @@ def make_sharded_dp_train_step(mesh: Mesh, *, image_width: int,
         (loss, (l1, dl1, radii_b, num_pairs, overflow)), \
             (grads, exp_grads, tap_grad) = grad_fn(
                 gm.trainables(g), state.exposure, tap0)
-        act = g.active
-        grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
-                 for k, v in grads.items()}
 
         # camera-DP densification statistics (parallel/dp.py semantics):
         # per-view screen-space grad norms and visit counts sum over the
@@ -322,27 +320,10 @@ def make_sharded_dp_train_step(mesh: Mesh, *, image_width: int,
                 max_radii2d=jnp.maximum(s.max_radii2d, radii_max)),
             lambda s: s, state.stats)
 
-        lrs = trainer._lr_dict(opt, stepc, spatial_lr_scale)
         vis = (denom_inc > 0) if use_sparse_adam else None
-        new_trainables, adam = optim.apply_updates(
-            gm.trainables(g), grads, state.adam, lrs, visibility_mask=vis)
-        exp_lr = expon_lr(stepc, opt.exposure_lr_init, opt.exposure_lr_final,
-                          lr_delay_steps=opt.exposure_lr_delay_steps,
-                          lr_delay_mult=opt.exposure_lr_delay_mult,
-                          max_steps=opt.iterations)
-        new_exp, exp_adam = optim.apply_updates(
-            {"exposure": state.exposure}, {"exposure": exp_grads},
-            state.exp_adam, {"exposure": exp_lr})
-
-        g2 = gm.with_trainables(g, new_trainables)
-        g2 = dataclasses.replace(
-            g2, active_sh_degree=jnp.where(
-                (stepc % 1000 == 0) & (g2.active_sh_degree < g.max_sh_degree),
-                g2.active_sh_degree + 1, g2.active_sh_degree))
-
-        new_state = trainer.TrainState(
-            gaussians=g2, adam=adam, exposure=new_exp["exposure"],
-            exp_adam=exp_adam, stats=stats, step=stepc)
+        new_state = trainer.finish_train_step(
+            state, grads, exp_grads, stats, stepc, vis, opt=opt,
+            spatial_lr_scale=spatial_lr_scale)
         aux = trainer.StepAux(loss=loss, l1=l1, depth_l1=dl1,
                               num_pairs=num_pairs, overflow=overflow,
                               radii=radii_max)
@@ -417,9 +398,6 @@ def make_sharded_train_step(mesh: Mesh, *, image_width: int,
         (loss, (l1, dl1, radii, num_pairs, overflow)), \
             (grads, exp_grads, tap_grad) = grad_fn(
                 gm.trainables(g), state.exposure, tap0)
-        act = g.active
-        grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
-                 for k, v in grads.items()}
 
         in_densify = stepc < opt.densify_until_iter
         stats = jax.lax.cond(
@@ -427,27 +405,10 @@ def make_sharded_train_step(mesh: Mesh, *, image_width: int,
             lambda s: densify_lib.add_densification_stats(s, radii, tap_grad),
             lambda s: s, state.stats)
 
-        lrs = trainer._lr_dict(opt, stepc, spatial_lr_scale)
         vis = (radii > 0) if use_sparse_adam else None
-        new_trainables, adam = optim.apply_updates(
-            gm.trainables(g), grads, state.adam, lrs, visibility_mask=vis)
-        exp_lr = expon_lr(stepc, opt.exposure_lr_init, opt.exposure_lr_final,
-                          lr_delay_steps=opt.exposure_lr_delay_steps,
-                          lr_delay_mult=opt.exposure_lr_delay_mult,
-                          max_steps=opt.iterations)
-        new_exp, exp_adam = optim.apply_updates(
-            {"exposure": state.exposure}, {"exposure": exp_grads},
-            state.exp_adam, {"exposure": exp_lr})
-
-        g2 = gm.with_trainables(g, new_trainables)
-        g2 = dataclasses.replace(
-            g2, active_sh_degree=jnp.where(
-                (stepc % 1000 == 0) & (g2.active_sh_degree < g.max_sh_degree),
-                g2.active_sh_degree + 1, g2.active_sh_degree))
-
-        new_state = trainer.TrainState(
-            gaussians=g2, adam=adam, exposure=new_exp["exposure"],
-            exp_adam=exp_adam, stats=stats, step=stepc)
+        new_state = trainer.finish_train_step(
+            state, grads, exp_grads, stats, stepc, vis, opt=opt,
+            spatial_lr_scale=spatial_lr_scale)
         aux = trainer.StepAux(loss=loss, l1=l1, depth_l1=dl1,
                               num_pairs=num_pairs, overflow=overflow,
                               radii=radii)

@@ -57,7 +57,7 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
         gaussians.get_opacity(), gaussians.get_features(),
         gaussians.active_sh_degree, cam, W, H,
         active_mask=gaussians.active, antialiasing=antialiasing,
-        dilation=cfg.dilation)
+        dilation=cfg.dilation, alpha_min=cfg.alpha_min)
     b = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(pre.mean2d), jax.lax.stop_gradient(pre.depth),
         jax.lax.stop_gradient(pre.radius),

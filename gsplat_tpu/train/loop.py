@@ -90,6 +90,8 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
     # With --data_parallel TOO, the mesh is 2D (data x prim): one camera
     # per data shard against the prim-sharded parameters.
     prim_mesh = None
+    shard_mesh = None            # whichever mesh row-shards the params
+    n_prim = 1
     if shard_gaussians and n_dev > 1:
         from gsplat_tpu.parallel import sharded as sharded_lib
         from gsplat_tpu.parallel.mesh import make_mesh
@@ -208,6 +210,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
                 for i in range(4))
             step_for = _dp_step_for if dp_mesh is not None \
                 else _sharded_step_for     # 2D data x prim mesh
+            dump_payload = (cam_b, (gt_b, am_b, iv_b, dm_b))
 
             def run_step(s):
                 return step_for(W, H)(s, cam_b, gt_b, am_b, iv_b,
@@ -215,6 +218,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         elif prim_mesh is not None:
             gt, amask, inv_gt, dmask = (jnp.asarray(a)
                                         for a in _cam_arrays(cam))
+            dump_payload = (cam.view(), (gt, amask, inv_gt, dmask))
 
             def run_step(s):
                 return _sharded_step_for(W, H)(s, cam.view(), gt, amask,
@@ -222,6 +226,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         else:
             gt, amask, inv_gt, dmask = (jnp.asarray(a)
                                         for a in _cam_arrays(cam))
+            dump_payload = (cam.view(), (gt, amask, inv_gt, dmask))
 
             def run_step(s):
                 return trainer.train_step(
@@ -260,7 +265,10 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             from gsplat_tpu.utils.debug import dump_snapshot
             path = os.path.join(scene.model_path or ".",
                                 f"snapshot_iter{iteration}.npz")
-            dump_snapshot(path, prev_state, cam.view(), _cam_arrays(cam),
+            # dump exactly what the failing step consumed (the full camera
+            # BATCH in DP / 2D-mesh mode, not just the first view)
+            dump_cam, dump_arrays = dump_payload
+            dump_snapshot(path, prev_state, dump_cam, dump_arrays,
                           iteration, reason=f"non-finite loss {loss_now}")
             raise FloatingPointError(
                 f"[iter {iteration}] non-finite loss {loss_now}; step inputs "
@@ -279,14 +287,18 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
                 if ovf > 0:
                     new_cap = _round_up(state.gaussians.capacity + max(
                         ovf, state.gaussians.capacity), 1024)
-                    if prim_mesh is not None:
-                        new_cap = _round_up(new_cap, n_dev)
+                    if shard_mesh is not None:
+                        # keep divisibility by the prim-axis size AND
+                        # re-place the grown (padded) arrays row-sharded —
+                        # covers both the pure prim mesh and the 2D
+                        # data x prim mesh
+                        new_cap = _round_up(new_cap, n_prim)
                     print(f"[iter {iteration}] capacity {state.gaussians.capacity}"
                           f" → {new_cap} (overflow {ovf})")
                     state = ckpt_lib.grow_capacity(state, new_cap)
-                    if prim_mesh is not None:
+                    if shard_mesh is not None:
                         from gsplat_tpu.parallel import sharded as sharded_lib
-                        state = sharded_lib.shard_state(state, prim_mesh)
+                        state = sharded_lib.shard_state(state, shard_mesh)
             if (iteration % opt.opacity_reset_interval == 0
                     or (dataset.white_background
                         and iteration == opt.densify_from_iter)):

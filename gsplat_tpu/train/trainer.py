@@ -132,6 +132,43 @@ def camera_loss_grads(g: gm.GaussianParams, exposure_all, cam: CameraView,
     return loss, l1, dl1, out, grads, exp_grads, tap_grad
 
 
+def finish_train_step(state: TrainState, grads: dict, exp_grads, stats,
+                      stepc, vis, *, opt: OptimizationConfig,
+                      spatial_lr_scale: float) -> TrainState:
+    """The shared post-render half of one optimization iteration: active-
+    mask the gradients, per-group scheduled Adam (optionally visibility-
+    masked), exposure Adam, SH-degree warm-up, state assembly. Used by the
+    single-chip step and both sharded steps (parallel/sharded.py) so the
+    reference-parity update semantics live in exactly one place."""
+    g = state.gaussians
+    # Dead padding slots receive no gradient (defensive: keeps any numeric
+    # garbage in culled rows out of the Adam moments).
+    act = g.active
+    grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
+             for k, v in grads.items()}
+
+    lrs = _lr_dict(opt, stepc, spatial_lr_scale)
+    new_trainables, adam = optim.apply_updates(
+        gm.trainables(g), grads, state.adam, lrs, visibility_mask=vis)
+    exp_lr = expon_lr(stepc, opt.exposure_lr_init, opt.exposure_lr_final,
+                      lr_delay_steps=opt.exposure_lr_delay_steps,
+                      lr_delay_mult=opt.exposure_lr_delay_mult,
+                      max_steps=opt.iterations)
+    new_exp, exp_adam = optim.apply_updates(
+        {"exposure": state.exposure}, {"exposure": exp_grads},
+        state.exp_adam, {"exposure": exp_lr})
+
+    # SH degree warm-up every 1000 iters (train.py:94-95)
+    g2 = gm.with_trainables(g, new_trainables)
+    g2 = dataclasses.replace(
+        g2, active_sh_degree=jnp.where(
+            (stepc % 1000 == 0) & (g2.active_sh_degree < g.max_sh_degree),
+            g2.active_sh_degree + 1, g2.active_sh_degree))
+
+    return TrainState(gaussians=g2, adam=adam, exposure=new_exp["exposure"],
+                      exp_adam=exp_adam, stats=stats, step=stepc)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("image_width", "image_height", "opt", "rcfg",
@@ -167,28 +204,9 @@ def train_step(state: TrainState,
         lambda s: s, state.stats)
 
     # optimizer step (train.py:177-186); exposure Adam with scheduled LR
-    lrs = _lr_dict(opt, step, spatial_lr_scale)
     vis = (out.radii > 0) if use_sparse_adam else None
-    new_trainables, adam = optim.apply_updates(
-        gm.trainables(g), grads, state.adam, lrs, visibility_mask=vis)
-    exp_lr = expon_lr(step, opt.exposure_lr_init, opt.exposure_lr_final,
-                      lr_delay_steps=opt.exposure_lr_delay_steps,
-                      lr_delay_mult=opt.exposure_lr_delay_mult,
-                      max_steps=opt.iterations)
-    new_exp, exp_adam = optim.apply_updates(
-        {"exposure": state.exposure}, {"exposure": exp_grads}, state.exp_adam,
-        {"exposure": exp_lr})
-
-    # SH degree warm-up every 1000 iters (train.py:94-95)
-    g2 = gm.with_trainables(g, new_trainables)
-    g2 = dataclasses.replace(
-        g2, active_sh_degree=jnp.where(
-            (step % 1000 == 0) & (g2.active_sh_degree < g.max_sh_degree),
-            g2.active_sh_degree + 1, g2.active_sh_degree))
-
-    new_state = TrainState(gaussians=g2, adam=adam,
-                           exposure=new_exp["exposure"], exp_adam=exp_adam,
-                           stats=stats, step=step)
+    new_state = finish_train_step(state, grads, exp_grads, stats, step, vis,
+                                  opt=opt, spatial_lr_scale=spatial_lr_scale)
     aux = StepAux(loss=loss, l1=l1, depth_l1=dl1, num_pairs=out.num_pairs,
                   overflow=out.overflow, radii=out.radii)
     return new_state, aux

@@ -46,11 +46,17 @@ async function refresh() {
   busy = true; dirty = false;
   const q = `/render?theta=${theta}&phi=${phi}&r=${r}&w=${c.width}&h=${c.height}`;
   const t0 = performance.now();
-  const blob = await (await fetch(q)).blob();
-  const img = await createImageBitmap(blob);
-  ctx.drawImage(img, 0, 0);
-  hud.textContent = `${(performance.now()-t0).toFixed(0)} ms/frame`;
-  busy = false; requestAnimationFrame(refresh);
+  try {
+    const blob = await (await fetch(q)).blob();
+    const img = await createImageBitmap(blob);
+    ctx.drawImage(img, 0, 0);
+    hud.textContent = `${(performance.now()-t0).toFixed(0)} ms/frame`;
+  } catch (e) {
+    hud.textContent = `frame failed (${e}); retrying`;
+    dirty = true;       // re-request on the next tick
+  } finally {
+    busy = false; requestAnimationFrame(refresh);
+  }
 }
 c.onmousedown = e => { dragging = true; lx = e.clientX; ly = e.clientY; };
 window.onmouseup = () => dragging = false;

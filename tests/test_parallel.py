@@ -352,3 +352,38 @@ def test_sharded_dp_2d_mesh_step_matches_single(rng):
     rows = {s.data.shape[0]
             for s in state_s.adam.mu["xyz"].addressable_shards}
     assert rows == {128 // 4}, f"moments not prim-sharded: {rows}"
+
+
+def test_sharded_dp_2d_mesh_capacity_growth(rng):
+    """Capacity growth mid-training on the 2D mesh: grow_capacity + re-shard
+    keeps rows divisible by and sharded over the PRIM axis, and the step
+    still runs (regression: the loop's growth path previously checked only
+    the 1D prim mesh)."""
+    from gsplat_tpu.parallel import sharded
+    from gsplat_tpu.train import checkpoint as ckpt_lib
+    W, H = TILE_W, 4 * TILE_H
+    g, cam = make_scene(rng, n=100, cap=128)
+    rcfg = cfg()
+    opt = OptimizationConfig()
+    mesh = make_mesh((("data", 2), ("prim", 4)))
+
+    state = sharded.shard_state(trainer.init_state(g, 1), mesh)
+    # grow to a capacity divisible by n_prim (the loop rounds to this) and
+    # re-shard — the step must keep running with CAP/4 rows per chip
+    state = ckpt_lib.grow_capacity(state, 192)
+    state = sharded.shard_state(state, mesh)
+    rows = {s.data.shape[0] for s in state.gaussians.xyz.addressable_shards}
+    assert rows == {192 // 4}
+
+    step_fn = sharded.make_sharded_dp_train_step(
+        mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+        spatial_lr_scale=1.0)
+    gt_b = jnp.asarray(rng.uniform(0, 1, (2, 3, H, W)), jnp.float32)
+    ones_b = jnp.ones((2, 1, H, W), jnp.float32)
+    zeros_b = jnp.zeros((2, 1, H, W), jnp.float32)
+    state, aux = step_fn(state, dp.stack_camera_batch([cam, cam]), gt_b,
+                         ones_b, zeros_b, zeros_b, jnp.zeros(3))
+    assert np.isfinite(float(aux.loss))
+    rows2 = {s.data.shape[0]
+             for s in state.adam.mu["xyz"].addressable_shards}
+    assert rows2 == {192 // 4}
