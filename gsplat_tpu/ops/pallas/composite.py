@@ -120,11 +120,21 @@ def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
-                tinit_ref,
-                accum_ref, tfinal_ref, nc_ref,
-                st_t, st_done, *,
+                *refs,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
-                alpha_min: float, alpha_max: float, t_eps: float):
+                alpha_min: float, alpha_max: float, t_eps: float,
+                has_tinit: bool):
+    # Per-chunk fixed cost is ~half the forward kernel (measured 0.9 of
+    # 1.9 us/chunk), dominated by per-block index_map/revisit machinery —
+    # so the three per-tile outputs (accum, t_final, nc) are ONE merged
+    # (6,P) f32 block (rows 0-3 accum, 4 t_final, 5 nc-as-f32; counts stay
+    # exact in f32 below 2^24), and the t_init input block exists only for
+    # the depth-slab exact-cut path (has_tinit).
+    if has_tinit:
+        tinit_ref, out_ref, st_t, st_done = refs
+    else:
+        out_ref, st_t, st_done = refs
+        tinit_ref = None
     i = pl.program_id(0)
     t = ct_ref[i] + base_ref[0]   # global tile id (tile-sharded rendering)
     rank0 = rank0_ref[i]
@@ -132,9 +142,9 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 
     @pl.when(rank0 == 0)
     def _init():
-        accum_ref[0] = jnp.zeros((4, P), jnp.float32)
-        tfinal_ref[0] = jnp.ones((1, P), jnp.float32)
-        nc_ref[0] = jnp.zeros((1, P), jnp.int32)
+        out_ref[0] = jnp.concatenate(
+            [jnp.zeros((4, P), jnp.float32), jnp.ones((1, P), jnp.float32),
+             jnp.zeros((1, P), jnp.float32)], axis=0)
         st_t[:] = jnp.ones((1, P), jnp.float32)
         st_done[:] = jnp.zeros((1, P), jnp.float32)
 
@@ -162,25 +172,28 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
         # depth slabs (1 everywhere single-chip); it scales the cut test
         # only — accumulation stays unit-T so the sharded merge stays
         # differentiable.
-        t_arr = tinit_ref[0]                                  # (1,P)
-        cross = (a1 > 0.0) & (t_arr * t_excl * (1.0 - a1) < t_eps)
+        if has_tinit:
+            t_arr = tinit_ref[0]                              # (1,P)
+            cross = (a1 > 0.0) & (t_arr * t_excl * (1.0 - a1) < t_eps)
+        else:
+            cross = (a1 > 0.0) & (t_excl * (1.0 - a1) < t_eps)
         first_cross = jnp.min(jnp.where(cross, g_iota, G), axis=0,
                               keepdims=True)                  # (1,P)
         contrib = (a1 > 0.0) & (g_iota < first_cross) & jnp.logical_not(done)
         w = jnp.where(contrib, t_excl * a1, 0.0)              # (G,P)
         col = data[:, 6:10]                                   # (G,4)
-        accum_ref[0] += jax.lax.dot_general(
+        new_accum = out_ref[0, :4] + jax.lax.dot_general(
             col, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # (4,P)
         lg2 = jnp.where(contrib, lg, 0.0)
         st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=0, keepdims=True))
         new_done = done | jnp.any(cross, axis=0, keepdims=True)
         st_done[:] = new_done.astype(jnp.float32)
-        rank1 = rank0 + g_iota + 1                            # (G,1)
-        nc_ref[0] = jnp.maximum(
-            nc_ref[0], jnp.max(jnp.where(contrib, rank1, 0), axis=0,
-                               keepdims=True))
-        tfinal_ref[0] = st_t[:]
+        rank1 = (rank0 + g_iota + 1).astype(jnp.float32)      # (G,1)
+        new_nc = jnp.maximum(
+            out_ref[0, 5:6], jnp.max(jnp.where(contrib, rank1, 0.0), axis=0,
+                                     keepdims=True))
+        out_ref[0] = jnp.concatenate([new_accum, st_t[:], new_nc], axis=0)
         # whole-tile early out: flag 2.0 skips remaining chunks' compute
         # (done pixels read st_done > 0, so 2.0 keeps per-pixel semantics)
         @pl.when(jnp.all(new_done))
@@ -193,75 +206,75 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, t_init,
                         alpha_min, alpha_max, t_eps, interpret):
     """entries: (M, 16) packed rows, with per-tile ranges aligned to `chunk`
     (binning align=chunk). t_init: (T, P) incoming transmittance for the
-    early-out test (depth-slab sharding), ones for single-chip."""
+    early-out test (depth-slab sharding), or None for the standard cut."""
     T = n_tiles_x * n_tiles_y
     P = tile_h * tile_w
     G = chunk
     M = entries.shape[0]
     n_chunks = M // G
-
-    tinit_pad = jnp.concatenate(
-        [t_init.reshape(T, 1, P), jnp.ones((1, 1, P), jnp.float32)])
+    has_tinit = t_init is not None
 
     ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
                                   chunk=G, n_chunks=n_chunks)
 
     kernel = functools.partial(
         _fwd_kernel, G=G, P=P, n_tiles_x=n_tiles_x, tile_h=tile_h,
-        tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps)
+        tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps,
+        has_tinit=has_tinit)
+
+    in_specs = [
+        pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [entries]
+    if has_tinit:
+        in_specs.append(
+            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(jnp.concatenate(
+            [t_init.reshape(T, 1, P), jnp.ones((1, 1, P), jnp.float32)]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
-                         memory_space=pltpu.VMEM),            # t_init
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 4, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 6, P), lambda i, ct, r0, cn, tb:
+                               (ct[i], 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
         ],
     )
-    accum, t_final, nc = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((T + 1, 4, P), jnp.float32),
-            jax.ShapeDtypeStruct((T + 1, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((T + 1, 1, P), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((T + 1, 6, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, tile_base, entries, tinit_pad)
+    )(ct, rank0, cnt, tile_base, *inputs)
     # empty tiles are never visited by any chunk — their rows are
     # uninitialized; mask them to the empty-tile state.
     empty = (tile_count == 0)
-    emptyp = jnp.concatenate([empty, jnp.ones((1,), bool)])[:, None, None]
-    accum = jnp.where(emptyp, 0.0, accum)[:T]
-    t_final = jnp.where(emptyp, 1.0, t_final)[:T]
-    nc = jnp.where(emptyp, 0, nc)[:T]
+    emptyp = jnp.concatenate([empty, jnp.ones((1,), bool)])[:, None]
+    accum = jnp.where(emptyp[:, None], 0.0, out[:, :4])[:T]
+    t_final = jnp.where(emptyp, 1.0, out[:, 4])[:T][:, None, :]
+    nc = jnp.where(emptyp, 0.0, out[:, 5]).astype(jnp.int32)[:T][:, None, :]
     return accum, t_final, nc
 
 
 # ---------------------------------------------------------------- backward
 
 def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
-                g_accum_ref, g_t_ref, accum_ref, tfinal_ref, nc_ref,
+                tile_ref,
                 d_entries_ref,
                 st_t, st_cumu, *,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
                 alpha_min: float, alpha_max: float, t_eps: float):
+    # All five per-tile tensors arrive as ONE merged (11,P) block — per-
+    # block index_map/revisit machinery is the dominant per-chunk fixed
+    # cost (measured ~0.9 us/chunk): rows 0-3 g_accum, 4 g_t, 5-8 accum,
+    # 9 t_final, 10 n_contrib (f32).
     i = pl.program_id(0)
     t = ct_ref[i] + base_ref[0]   # global tile id (tile-sharded rendering)
     rank0 = rank0_ref[i]
@@ -279,11 +292,12 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
         px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
         g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
         data = entries_ref[:]                                 # (G,16)
-        g_acc = g_accum_ref[0]                                # (4,P)
-        acc = accum_ref[0]                                    # (4,P)
-        g_t = g_t_ref[0]                                      # (1,P)
-        t_n = tfinal_ref[0]                                   # (1,P)
-        nc = nc_ref[0]                                        # (1,P) int32
+        tb = tile_ref[0]                                      # (11,P)
+        g_acc = tb[0:4]                                       # (4,P)
+        g_t = tb[4:5]                                         # (1,P)
+        acc = tb[5:9]                                         # (4,P)
+        t_n = tb[9:10]                                        # (1,P)
+        nc = tb[10:11]                                        # (1,P) f32
         # P0 = g·accum_total; bg blending happens outside via the t_final
         # cotangent, so no bg term appears here.
         p0 = jnp.sum(g_acc * acc, axis=0, keepdims=True)      # (1,P)
@@ -295,7 +309,7 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
         alpha = jnp.minimum(alpha_raw, alpha_max)
         rank = rank0 + g_iota                                 # (G,1)
         keep = ((rank < count) & (alpha >= alpha_min) & (power <= 0.0)
-                & (rank < nc))                                # (G,P)
+                & (rank.astype(jnp.float32) < nc))            # (G,P)
         a2 = jnp.where(keep, alpha, 0.0)
         lg2 = jnp.log1p(-a2)
         t_excl = tcur * jnp.exp(
@@ -356,31 +370,28 @@ def _composite_bwd_call(entries, tile_start, tile_count, tile_base, accum,
     ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
                                   chunk=G, n_chunks=n_chunks,
                                   count_clamp=max_nc)
-    # sentinel tile T must address a valid input row
-    pad = lambda x, v: jnp.concatenate(
-        [x, jnp.full((1,) + x.shape[1:], v, x.dtype)])
+    # ONE merged (T+1, 11, P) per-tile input (see _bwd_kernel layout); the
+    # sentinel row keeps every ct[i] addressable.
+    merged = jnp.concatenate(
+        [g_accum, g_t[:, None, :] if g_t.ndim == 2 else g_t,
+         accum, t_final, nc.astype(jnp.float32)], axis=1)      # (T,11,P)
+    merged = jnp.concatenate(
+        [merged, jnp.zeros((1, 11, P), jnp.float32)
+         .at[0, 9].set(1.0)], axis=0)                          # sentinel
 
     kernel = functools.partial(
         _bwd_kernel, G=G, P=P, n_tiles_x=n_tiles_x, tile_h=tile_h,
         tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps)
 
-    tile_block = lambda i, ct, r0, cn, tb: (ct[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
                          memory_space=pltpu.VMEM),             # entries
-            pl.BlockSpec((1, 4, P), tile_block,
-                         memory_space=pltpu.VMEM),             # g_accum
-            pl.BlockSpec((1, 1, P), tile_block,
-                         memory_space=pltpu.VMEM),             # g_t
-            pl.BlockSpec((1, 4, P), tile_block,
-                         memory_space=pltpu.VMEM),             # accum
-            pl.BlockSpec((1, 1, P), tile_block,
-                         memory_space=pltpu.VMEM),             # t_final
-            pl.BlockSpec((1, 1, P), tile_block,
-                         memory_space=pltpu.VMEM),             # n_contrib
+            pl.BlockSpec((1, 11, P), lambda i, ct, r0, cn, tb:
+                         (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM),             # merged tile
         ],
         out_specs=pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
                                memory_space=pltpu.VMEM),       # d_entries
@@ -396,8 +407,7 @@ def _composite_bwd_call(entries, tile_start, tile_count, tile_base, accum,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, tile_base, entries, pad(g_accum, 0.0), pad(g_t, 0.0),
-      pad(accum, 0.0), pad(t_final, 1.0), pad(nc, 0))
+    )(ct, rank0, cnt, tile_base, entries, merged)
     return d_entries
 
 
@@ -458,11 +468,10 @@ def composite_tiles_pallas(entries, tile_start, tile_count, *, n_tiles_x,
                      tile_w=tile_w, chunk=chunk, alpha_min=alpha_min,
                      alpha_max=alpha_max, t_eps=t_eps, interpret=interpret)
     base = jnp.reshape(jnp.asarray(tile_id_base, jnp.int32), (1,))
-    P0 = tile_h * tile_w
-    if t_init is None:
-        t_init = jnp.ones((T, P0), jnp.float32)
+    if t_init is not None:
+        t_init = jax.lax.stop_gradient(t_init)
     accum, t_final, nc = _composite(entries, tile_start, tile_count, base,
-                                    jax.lax.stop_gradient(t_init), static)
+                                    t_init, static)
     P = tile_h * tile_w
     return CompositeOut(accum=accum,
                         t_final=t_final.reshape(T, P),
