@@ -177,6 +177,9 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     gidx = jnp.where(valid, gidx, n)                   # sentinel gaussian
 
     # --- per-tile histogram: 4-corner summed-area scatter (N-sized) ---
+    # (A K-sharded collision-reducing variant measured no change in the
+    # full program — the isolated ~8 ms stage cost overlaps away under
+    # XLA's scheduling; kept simple.)
     one = (counts > 0).astype(jnp.int32)
     grid = jnp.zeros((n_tiles_y + 1, n_tiles_x + 1), jnp.int32)
     grid = grid.at[y0, x0].add(one, mode="drop")
@@ -225,8 +228,13 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
         shift = jnp.minimum(padded_start - tile_start, align * n_tiles)
         shift_e = _expand(shift, tile_start, m_cap)
         dest = e_idx + shift_e                         # sentinels land past
+        # dest is strictly increasing (position + a non-decreasing per-tile
+        # shift) — the sorted-indices hint takes the scatter off the random
+        # path (measured: the two align scatters were the largest single
+        # binning cost)
         gidx_aligned = jnp.full((m_out,), n, jnp.int32).at[dest].set(
-            gidx_s, mode="drop", unique_indices=True)
+            gidx_s, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
         # presort entry → aligned slot: lets the renderer's gather use a
         # random GATHER + cumsum backward instead of a duplicate-index
         # random scatter-add (on-chip, random gathers are ~7x cheaper than
