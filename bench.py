@@ -91,14 +91,17 @@ def main():
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
+    ovf_max = jnp.zeros((), jnp.int32)
     for _ in range(iters):
         state, aux = step(state)
+        ovf_max = jnp.maximum(ovf_max, aux.overflow)   # on-device: no sync
     jax.block_until_ready(state.gaussians.xyz)
     dt = time.perf_counter() - t0
-    # the timed steps ran real updates — drift must not have outgrown the
-    # right-sized capacity (truncation would flatter the number)
-    assert int(aux.overflow) == 0, (
-        f"pair list truncated during timing ({int(aux.overflow)} dropped)")
+    # EVERY timed step ran a real update — drift must not have outgrown the
+    # right-sized capacity at any of them (truncation would flatter the
+    # number); the max accumulates on-device so timing stays unsynced
+    assert int(ovf_max) == 0, (
+        f"pair list truncated during timing ({int(ovf_max)} dropped max)")
 
     pix_per_s = W * H * iters / dt
     print(json.dumps({

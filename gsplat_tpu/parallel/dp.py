@@ -11,19 +11,14 @@ batch-size = mesh size instead of 1.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gsplat_tpu.config import OptimizationConfig, RasterizerConfig
 from gsplat_tpu.core.camera import CameraView
-from gsplat_tpu.core.schedules import expon_lr
-from gsplat_tpu.models import gaussian_model as gm
 from gsplat_tpu.train import densify as densify_lib
-from gsplat_tpu.train import optim, trainer
+from gsplat_tpu.train import trainer
 
 
 def make_dp_train_step(mesh: Mesh, *, image_width: int, image_height: int,
@@ -73,28 +68,11 @@ def make_dp_train_step(mesh: Mesh, *, image_width: int, image_height: int,
                 max_radii2d=jnp.maximum(s.max_radii2d, radii_max)),
             lambda s: s, state.stats)
 
-        # --- replicated optimizer update ---
-        lrs = trainer._lr_dict(opt, step, spatial_lr_scale)
+        # --- replicated optimizer update (shared reference-parity helper) ---
         vis_any = (denom_inc > 0) if use_sparse_adam else None
-        new_trainables, adam = optim.apply_updates(
-            gm.trainables(g), grads, state.adam, lrs,
-            visibility_mask=vis_any)
-        exp_lr = expon_lr(step, opt.exposure_lr_init, opt.exposure_lr_final,
-                          lr_delay_steps=opt.exposure_lr_delay_steps,
-                          lr_delay_mult=opt.exposure_lr_delay_mult,
-                          max_steps=opt.iterations)
-        new_exp, exp_adam = optim.apply_updates(
-            {"exposure": state.exposure}, {"exposure": exp_grads},
-            state.exp_adam, {"exposure": exp_lr})
-
-        g2 = gm.with_trainables(g, new_trainables)
-        g2 = dataclasses.replace(
-            g2, active_sh_degree=jnp.where(
-                (step % 1000 == 0) & (g2.active_sh_degree < g.max_sh_degree),
-                g2.active_sh_degree + 1, g2.active_sh_degree))
-        new_state = trainer.TrainState(
-            gaussians=g2, adam=adam, exposure=new_exp["exposure"],
-            exp_adam=exp_adam, stats=stats, step=step)
+        new_state = trainer.finish_train_step(
+            state, grads, exp_grads, stats, step, vis_any, opt=opt,
+            spatial_lr_scale=spatial_lr_scale)
         # fully replicated aux: reduce per-device diagnostics
         aux = trainer.StepAux(
             loss=loss, l1=l1, depth_l1=dl1,

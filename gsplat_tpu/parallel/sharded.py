@@ -34,7 +34,6 @@ run, but the set of live gaussians and all statistics match.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional
 
@@ -52,7 +51,7 @@ from gsplat_tpu.ops import preprocess as preprocess_lib
 from gsplat_tpu.ops.rasterize import (_gather_entries, _tiles_to_image,
                                       composite_dispatch, pack_rows)
 from gsplat_tpu.train import densify as densify_lib
-from gsplat_tpu.train import optim, trainer
+from gsplat_tpu.train import trainer
 
 
 def shard_state(state: "trainer.TrainState", mesh: Mesh,

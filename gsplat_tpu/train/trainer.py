@@ -124,11 +124,7 @@ def camera_loss_grads(g: gm.GaussianParams, exposure_all, cam: CameraView,
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
     (loss, (l1, dl1, out)), (grads, exp_grads, tap_grad) = grad_fn(
         gm.trainables(g), exposure_all, tap0)
-    # Dead padding slots receive no gradient (defensive: keeps any numeric
-    # garbage in culled rows out of the Adam moments).
-    act = g.active
-    grads = {k: v * act.reshape((-1,) + (1,) * (v.ndim - 1))
-             for k, v in grads.items()}
+    # (the active-mask on grads is applied once, in finish_train_step)
     return loss, l1, dl1, out, grads, exp_grads, tap_grad
 
 

@@ -53,7 +53,7 @@ async function refresh() {
     hud.textContent = `${(performance.now()-t0).toFixed(0)} ms/frame`;
   } catch (e) {
     hud.textContent = `frame failed (${e}); retrying`;
-    dirty = true;       // re-request on the next tick
+    setTimeout(() => { dirty = true; }, 500);   // back off, then re-request
   } finally {
     busy = false; requestAnimationFrame(refresh);
   }
