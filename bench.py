@@ -84,7 +84,12 @@ def main():
         f"pair list truncated ({int(aux.overflow)} dropped, "
         f"{int(aux.num_pairs)} pairs) — raise pairs_per_gaussian")
     ppg = max(int(aux.num_pairs) * 1.3 / n, 2.0)
-    rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=ppg)
+    # right-size the alignment-padding budget too: the worst case is
+    # chunk*n_tiles but real use is ~chunk/2 per non-empty tile, and every
+    # kernel grid step scales with the padded static extent
+    pad_used = int(aux.num_padded) - int(aux.num_pairs)
+    pad_cap = max(rcfg.chunk, int(pad_used * 1.5))
+    rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=ppg, pad_cap=pad_cap)
     state, aux = step(state0)
     jax.block_until_ready(state.gaussians.xyz)
     assert int(aux.overflow) == 0

@@ -98,6 +98,12 @@ class RasterizerConfig:
     # adapts it (grow on overflow + retry, shrink when over-provisioned)
     # and re-jits — a rare event after warm-up.
     pairs_per_gaussian: float = 12.0   # M_cap = ceil(cap * this), rounded up
+    # Static budget for the chunk-alignment padding of the entry list
+    # (ops/binning.py align path). -1 = the safe worst case align*n_tiles;
+    # hosts that probe a frame first (bench.py) right-size it from the
+    # reported num_padded — expected use is ~chunk/2 per non-empty tile,
+    # and every kernel grid step / M-sized pass scales with m_cap+pad_cap.
+    pad_cap: int = -1
     chunk: int = 256                  # gaussians per kernel grid step
     alpha_min: float = 1.0 / 255.0    # contribution floor   [CUDA parity]
     alpha_max: float = 0.99           # alpha clamp          [CUDA parity]

@@ -56,6 +56,8 @@ class Binning(NamedTuple):
     tile_count: jnp.ndarray    # (T,) int32 entries per tile
     num_pairs: jnp.ndarray     # () int32 total real entries (pre-truncation)
     overflow: jnp.ndarray      # () int32 dropped entries (0 if m_cap sufficed)
+    num_padded: jnp.ndarray = None  # () int32 chunk-padded layout extent
+    #   (align>1 only) — the host right-sizes pad_cap from this
     # align>1 extras for the efficient gather-VJP (ops/rasterize.py):
     inv_src: Optional[jnp.ndarray] = None     # (M_cap,) presort → aligned idx
     g_offsets: Optional[jnp.ndarray] = None   # (N,) presort start per gaussian
@@ -102,7 +104,8 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                   align: int = 1,
                   rx: jnp.ndarray | None = None,
                   ry: jnp.ndarray | None = None,
-                  sort_gaussians: bool = False) -> Binning:
+                  sort_gaussians: bool = False,
+                  pad_cap: int | None = None) -> Binning:
     """Build the sorted (tile ‖ depth)-ordered entry list.
 
     All inputs should be stop-gradiented by the caller — ordering is not
@@ -112,7 +115,13 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     ``align`` and is padded (sentinel entries) to a multiple of ``align``.
     The Pallas kernels require align == chunk: per-chunk DMAs then always
     start 128-lane-aligned and per-tile gradient writes never touch another
-    tile's rows. Output arrays have static length m_cap + align·n_tiles.
+    tile's rows. Output arrays have static length m_cap + pad_cap, where
+    ``pad_cap`` defaults to the worst case align·n_tiles; the expected
+    padding is only ~align/2 per non-empty tile, so hosts right-size it
+    from the reported ``num_padded`` (every kernel grid step and M-sized
+    gather pass scales with this static extent). A frame whose padded
+    layout outgrows pad_cap reports ``overflow`` like a pair overflow —
+    content is garbage by contract, the host grows and re-renders.
 
     With ``sort_gaussians`` the per-entry depth key is replaced by the
     gaussian's depth rank (see module docstring); the returned ``perm``
@@ -219,13 +228,18 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                                               num_keys=2)
 
     if align > 1:
+        if pad_cap is None:
+            pad_cap = align * n_tiles
+        pad_cap = min(-(-pad_cap // align) * align, align * n_tiles)
         padded_count = -(-tile_count // align) * align
         ends = jnp.cumsum(padded_count).astype(jnp.int32)
         padded_start = (ends - padded_count).astype(jnp.int32)
-        m_out = m_cap + align * n_tiles
+        m_out = m_cap + pad_cap
+        num_padded = ends[-1]
+        overflow = jnp.maximum(overflow, num_padded - m_out)
         # dest[p] = p + shift[tile of p]; the per-entry shift is expanded by
         # the same diff-scatter + cumsum trick along the tile-sorted order.
-        shift = jnp.minimum(padded_start - tile_start, align * n_tiles)
+        shift = jnp.minimum(padded_start - tile_start, pad_cap)
         shift_e = _expand(shift, tile_start, m_cap)
         dest = e_idx + shift_e                         # sentinels land past
         # dest is strictly increasing (position + a non-decreasing per-tile
@@ -248,9 +262,59 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
         return Binning(gidx_sorted=gidx_aligned, tile_sorted=None,
                        tile_start=padded_start, tile_count=tile_count,
                        num_pairs=total, overflow=overflow,
+                       num_padded=num_padded,
                        inv_src=inv_src, g_offsets=offsets,
                        g_counts=counts, perm=perm)
 
     return Binning(gidx_sorted=gidx_s, tile_sorted=tile_s,
                    tile_start=tile_start, tile_count=tile_count,
                    num_pairs=total, overflow=overflow, perm=perm)
+
+
+def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
+                 n_chunks: int, count_clamp=None, with_dma: bool = False):
+    """Per-chunk (tile, rank0, count) tables from the aligned per-tile
+    ranges, via diff-scatter + cumsum (no gathers — TPU-measured: M-sized
+    gathers cost ~70 ms, cumsums ~5 ms). Shared by the Pallas compositor
+    (scalar-prefetch tables) and the XLA oracle compositor (scan xs).
+
+    The chunk→tile layout always follows ``tile_count`` (it determined the
+    aligned buffer layout); ``count_clamp`` (T,) only lowers the per-chunk
+    effective count (used by the backward to skip past-last-contributor
+    chunks) without disturbing the layout.
+
+    With ``with_dma`` two extras are returned: ``dma`` (n_chunks,) — the
+    last *live* chunk index ≤ i (live = has entries under the effective
+    count) — and the scalar ``end`` (first tail chunk). Dead chunks never
+    read their entry block, so pointing their input index_map at ``dma[i]``
+    makes Mosaic's revisit logic skip the block DMA entirely (consecutive
+    equal indices → no re-fetch); measured, the per-chunk DMA machinery is
+    about half the kernel's fixed cost."""
+    start_chunk = tile_start // chunk                       # (T,)
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    ct = _expand(tids, start_chunk, n_chunks)               # chunk → tile
+    first = _expand(start_chunk, start_chunk, n_chunks)
+    ci = jnp.arange(n_chunks, dtype=jnp.int32)
+    rank0 = (ci - first) * chunk                            # chunk → rank0
+    eff = tile_count if count_clamp is None else \
+        jnp.minimum(tile_count, count_clamp)
+    cc = _expand(eff, start_chunk, n_chunks)
+    # Chunks outside the layout's real extent → sentinel tile n_tiles.
+    # ``tile_start`` may be a slice of a larger global layout with a nonzero
+    # origin (tile-sharded rendering passes each shard's slice of the global
+    # aligned buffer), so the live region is [begin, begin + total), not
+    # [0, total): chunks before ``begin`` belong to other shards' tiles and
+    # must be skipped too, or they'd overwrite tile ct[i]'s (=0's) output.
+    used = -(-tile_count // chunk) * chunk
+    begin = start_chunk[0]
+    end = begin + (jnp.sum(used) // chunk).astype(jnp.int32)
+    is_tail = (ci < begin) | (ci >= end)
+    ct = jnp.where(is_tail, n_tiles, ct)
+    cc = jnp.where(is_tail, 0, cc)
+    if not with_dma:
+        return (ct.astype(jnp.int32), rank0.astype(jnp.int32),
+                cc.astype(jnp.int32))
+    live = rank0 < cc                       # tails have cc == 0
+    dma = jax.lax.cummax(jnp.where(live, ci, 0))
+    return (ct.astype(jnp.int32), rank0.astype(jnp.int32),
+            cc.astype(jnp.int32), dma.astype(jnp.int32), end)

@@ -81,7 +81,7 @@ def _chunk_update(chunk_data, valid, carry, px, py, base_rank, t_init, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "chunk",
-    "alpha_min", "alpha_max", "t_eps", "max_chunks"))
+    "alpha_min", "alpha_max", "t_eps"))
 def composite_tiles_xla(entries: jnp.ndarray,     # (M, 16) packed
                         tile_start: jnp.ndarray,  # (T,)
                         tile_count: jnp.ndarray,  # (T,)
@@ -89,50 +89,66 @@ def composite_tiles_xla(entries: jnp.ndarray,     # (M, 16) packed
                         tile_h: int, tile_w: int, chunk: int = 32,
                         alpha_min: float = 1.0 / 255.0,
                         alpha_max: float = 0.99, t_eps: float = 1e-4,
-                        max_chunks: int | None = None,
                         tile_id_base=0, t_init=None) -> CompositeOut:
-    """Vectorized over all tiles, lax.scan over entry chunks.
+    """lax.scan over GLOBAL entry chunks; each step updates only its own
+    tile's carry row (the same chunk→tile tables the Pallas kernel
+    prefetches — ops/binning.chunk_tables). Requires the align=chunk
+    layout from bin_gaussians, like the kernel: per-tile ranges start on
+    chunk boundaries so no chunk straddles tiles.
 
-    O(T·max_chunks·G·P) — intended for tests/small scenes; the Pallas kernel
-    (ops/pallas) does per-tile early exit and chunk-count-adaptive work.
+    O(M·P) — the previous all-tiles-walk-all-chunks form was O(T·M·P) and
+    dominated every CPU path (e2e tests, CPU full_eval) by 20x+.
     """
     T = tile_start.shape[0]
     G = chunk
     P = tile_h * tile_w
     M = entries.shape[0]
-    if max_chunks is None:
-        max_chunks = -(-M // G)
+    assert M % G == 0, (
+        f"composite_tiles_xla requires the align=chunk entry layout "
+        f"(M={M} not a multiple of chunk={G})")
+    n_chunks = M // G
 
-    tile_ids = tile_id_base + jnp.arange(T, dtype=jnp.int32)
-    ox = (tile_ids % n_tiles_x) * tile_w
-    oy = (tile_ids // n_tiles_x) * tile_h
-    p = jnp.arange(P, dtype=jnp.int32)
-    px = (ox[:, None] + p[None, :] % tile_w).astype(jnp.float32)[:, None, :]
-    py = (oy[:, None] + p[None, :] // tile_w).astype(jnp.float32)[:, None, :]
+    from gsplat_tpu.ops.binning import chunk_tables
+    ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
+                                  chunk=G, n_chunks=n_chunks)
 
-    init = (jnp.zeros((T, 4, P), jnp.float32),
-            jnp.ones((T, 1, P), jnp.float32),
-            jnp.zeros((T, 1, P), bool),
-            jnp.zeros((T, P), jnp.int32))
+    # carries hold one extra sentinel row (T) that tail chunks harmlessly
+    # visit (their count is 0, so the update is the identity)
+    init = (jnp.zeros((T + 1, 4, P), jnp.float32),
+            jnp.ones((T + 1, 1, P), jnp.float32),
+            jnp.zeros((T + 1, 1, P), bool),
+            jnp.zeros((T + 1, P), jnp.int32))
     if t_init is None:
         t_init_b = jnp.ones((T, 1, P), jnp.float32)
     else:
         t_init_b = jax.lax.stop_gradient(t_init).reshape(T, 1, P)
+    t_init_b = jnp.concatenate(
+        [t_init_b, jnp.ones((1, 1, P), jnp.float32)], axis=0)
+
+    g = jnp.arange(G, dtype=jnp.int32)
+    p = jnp.arange(P, dtype=jnp.int32)
 
     @jax.checkpoint
-    def step(carry, i):
-        base = tile_start + i * G                               # (T,)
-        g = jnp.arange(G, dtype=jnp.int32)
-        idx = jnp.clip(base[:, None] + g[None, :], 0, M - 1)    # (T,G)
-        valid = (i * G + g[None, :]) < tile_count[:, None]
-        chunk_data = entries[idx]                               # (T,G,16)
-        base_rank = i * G + g[None, :].repeat(T, 0)             # (T,G)
-        carry = _chunk_update(chunk_data, valid, carry, px, py, base_rank,
-                              t_init_b,
-                              alpha_min=alpha_min, alpha_max=alpha_max,
-                              t_eps=t_eps)
+    def step(carry, x):
+        data, t, r0, cn = x                   # (G,16), scalars
+        accum, t_run, done, nc = carry
+        gid = tile_id_base + t
+        ox = ((gid % n_tiles_x) * tile_w).astype(jnp.float32)
+        oy = ((gid // n_tiles_x) * tile_h).astype(jnp.float32)
+        px = (ox + (p % tile_w))[None, None, :]          # (1,1,P)
+        py = (oy + (p // tile_w))[None, None, :]
+        valid = ((r0 + g) < cn)[None, :]                 # (1,G)
+        base_rank = (r0 + g)[None, :]                    # (1,G)
+        cur = (accum[t][None], t_run[t][None], done[t][None], nc[t][None])
+        new = _chunk_update(data[None], valid, cur, px, py, base_rank,
+                            t_init_b[t][None],
+                            alpha_min=alpha_min, alpha_max=alpha_max,
+                            t_eps=t_eps)
+        carry = (accum.at[t].set(new[0][0]), t_run.at[t].set(new[1][0]),
+                 done.at[t].set(new[2][0]), nc.at[t].set(new[3][0]))
         return carry, None
 
     (accum, t_out, _, nc), _ = jax.lax.scan(
-        step, init, jnp.arange(max_chunks, dtype=jnp.int32))
-    return CompositeOut(accum=accum, t_final=t_out[:, 0, :], n_contrib=nc)
+        step, init, (entries.reshape(n_chunks, G, 16), ct, rank0, cnt))
+    return CompositeOut(accum=accum[:T], t_final=t_out[:T, 0, :],
+                        n_contrib=nc[:T])

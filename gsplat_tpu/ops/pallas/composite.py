@@ -81,45 +81,14 @@ def _alpha_terms(data, px, py):
     return dx, dy, power, alpha_raw
 
 
-def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,
-                 n_chunks: int, count_clamp=None):
-    """Per-chunk (tile, rank0, count) scalar-prefetch tables from the
-    aligned per-tile ranges, via diff-scatter + cumsum (no gathers —
-    TPU-measured: M-sized gathers cost ~70 ms, cumsums ~5 ms).
-
-    The chunk→tile layout always follows ``tile_count`` (it determined the
-    aligned buffer layout); ``count_clamp`` (T,) only lowers the per-chunk
-    effective count (used by the backward to skip past-last-contributor
-    chunks) without disturbing the layout."""
-    from gsplat_tpu.ops.binning import _expand
-
-    start_chunk = tile_start // chunk                       # (T,)
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    ct = _expand(tids, start_chunk, n_chunks)               # chunk → tile
-    first = _expand(start_chunk, start_chunk, n_chunks)
-    ci = jnp.arange(n_chunks, dtype=jnp.int32)
-    rank0 = (ci - first) * chunk                            # chunk → rank0
-    eff = tile_count if count_clamp is None else \
-        jnp.minimum(tile_count, count_clamp)
-    cc = _expand(eff, start_chunk, n_chunks)
-    # Chunks outside the layout's real extent → sentinel tile n_tiles.
-    # ``tile_start`` may be a slice of a larger global layout with a nonzero
-    # origin (tile-sharded rendering passes each shard's slice of the global
-    # aligned buffer), so the live region is [begin, begin + total), not
-    # [0, total): chunks before ``begin`` belong to other shards' tiles and
-    # must be skipped too, or they'd overwrite tile ct[i]'s (=0's) output.
-    used = -(-tile_count // chunk) * chunk
-    begin = start_chunk[0]
-    end = begin + (jnp.sum(used) // chunk).astype(jnp.int32)
-    is_tail = (ci < begin) | (ci >= end)
-    ct = jnp.where(is_tail, n_tiles, ct)
-    cc = jnp.where(is_tail, 0, cc)
-    return ct.astype(jnp.int32), rank0.astype(jnp.int32), cc.astype(jnp.int32)
+from gsplat_tpu.ops.binning import chunk_tables  # noqa: F401  (shared with
+#   the XLA oracle compositor; moved to binning.py, re-exported here for
+#   existing importers)
 
 
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
+def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, entries_ref,
                 *refs,
                 G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
                 alpha_min: float, alpha_max: float, t_eps: float,
@@ -214,8 +183,9 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, t_init,
     n_chunks = M // G
     has_tinit = t_init is not None
 
-    ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
-                                  chunk=G, n_chunks=n_chunks)
+    ct, rank0, cnt, dma, _end = chunk_tables(
+        tile_start, tile_count, n_tiles=T, chunk=G, n_chunks=n_chunks,
+        with_dma=True)
 
     kernel = functools.partial(
         _fwd_kernel, G=G, P=P, n_tiles_x=n_tiles_x, tile_h=tile_h,
@@ -223,22 +193,24 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, t_init,
         has_tinit=has_tinit)
 
     in_specs = [
-        pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
+        # dead chunks revisit the last live entry block — no DMA issued
+        pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb, dm: (dm[i], 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [entries]
     if has_tinit:
         in_specs.append(
-            pl.BlockSpec((1, 1, P), lambda i, ct, r0, cn, tb: (ct[i], 0, 0),
+            pl.BlockSpec((1, 1, P),
+                         lambda i, ct, r0, cn, tb, dm: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM))
         inputs.append(jnp.concatenate(
             [t_init.reshape(T, 1, P), jnp.ones((1, 1, P), jnp.float32)]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_chunks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 6, P), lambda i, ct, r0, cn, tb:
+        out_specs=pl.BlockSpec((1, 6, P), lambda i, ct, r0, cn, tb, dm:
                                (ct[i], 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
@@ -252,7 +224,7 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, t_init,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, tile_base, *inputs)
+    )(ct, rank0, cnt, tile_base, dma, *inputs)
     # empty tiles are never visited by any chunk — their rows are
     # uninitialized; mask them to the empty-tile state.
     empty = (tile_count == 0)
@@ -265,7 +237,8 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, t_init,
 
 # ---------------------------------------------------------------- backward
 
-def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
+def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, out_idx_ref,
+                entries_ref,
                 tile_ref,
                 d_entries_ref,
                 st_t, st_cumu, *,
@@ -367,9 +340,18 @@ def _composite_bwd_call(entries, tile_start, tile_count, tile_base, accum,
     # the unconditional init). On saturating scenes this skips most of the
     # backward walk, mirroring the forward's early-out economics.
     max_nc = jnp.max(nc[:, 0, :], axis=1).astype(jnp.int32)    # (T,)
-    ct, rank0, cnt = chunk_tables(tile_start, tile_count, n_tiles=T,
-                                  chunk=G, n_chunks=n_chunks,
-                                  count_clamp=max_nc)
+    ct, rank0, cnt, dma, end = chunk_tables(tile_start, tile_count,
+                                            n_tiles=T, chunk=G,
+                                            n_chunks=n_chunks,
+                                            count_clamp=max_nc,
+                                            with_dma=True)
+    # d_entries block routing: clamp-dead chunks still write their zero
+    # block (the reduction consumes those rows), but the contiguous tail
+    # region — rows past the real aligned layout, never consumed — shares
+    # ONE block (`end`), so tail chunks cost no output DMA after the first.
+    ci = jnp.arange(n_chunks, dtype=jnp.int32)
+    out_idx = jnp.where(ci < end, ci,
+                        jnp.minimum(end, n_chunks - 1)).astype(jnp.int32)
     # ONE merged (T+1, 11, P) per-tile input (see _bwd_kernel layout); the
     # sentinel row keeps every ct[i] addressable.
     merged = jnp.concatenate(
@@ -384,16 +366,20 @@ def _composite_bwd_call(entries, tile_start, tile_count, tile_base, accum,
         tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
+            # dead chunks (clamp-skipped + tail) revisit the last live
+            # entry block — no input DMA issued
+            pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb, dm, oi:
+                         (dm[i], 0),
                          memory_space=pltpu.VMEM),             # entries
-            pl.BlockSpec((1, 11, P), lambda i, ct, r0, cn, tb:
+            pl.BlockSpec((1, 11, P), lambda i, ct, r0, cn, tb, dm, oi:
                          (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),             # merged tile
         ],
-        out_specs=pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb: (i, 0),
+        out_specs=pl.BlockSpec((G, 16), lambda i, ct, r0, cn, tb, dm, oi:
+                               (oi[i], 0),
                                memory_space=pltpu.VMEM),       # d_entries
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
@@ -407,7 +393,16 @@ def _composite_bwd_call(entries, tile_start, tile_count, tile_base, accum,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ct, rank0, cnt, tile_base, entries, merged)
+    )(ct, rank0, cnt, tile_base, dma, out_idx, entries, merged)
+    # Contract: rows past the aligned layout's real extent (the tail) are
+    # UNSPECIFIED on hardware — the out_idx routing above never writes them
+    # (they are pure padding; the renderer's gather-VJP reduction provably
+    # never reads them: inv_src only addresses real aligned slots). In
+    # interpret mode (the oracle-comparison tests) zero them so raw
+    # d_entries comparisons stay exact.
+    if interpret:
+        row = jnp.arange(M, dtype=jnp.int32)
+        d_entries = jnp.where((row < end * G)[:, None], d_entries, 0.0)
     return d_entries
 
 

@@ -40,6 +40,8 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray        # (N,) float; 0 = invisible
     num_pairs: jnp.ndarray    # () int32 — binning load (diagnostics)
     overflow: jnp.ndarray     # () int32 — dropped pairs (should be 0)
+    num_padded: jnp.ndarray = None  # () int32 — padded layout extent
+    #   (for host pad_cap right-sizing; see RasterizerConfig.pad_cap)
 
 
 def pack_rows(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
@@ -82,25 +84,43 @@ def _gather_entries_fwd(packed, gidx, inv_src, g_offsets, g_counts, m_cap):
     return packed[gidx], (inv_src, g_offsets, g_counts, packed.shape[0])
 
 
-def _gather_entries_bwd(m_cap, res, d_aligned):
-    inv_src, g_offsets, g_counts, n_rows = res
-    width = d_aligned.shape[1]
-    d_presort = d_aligned[inv_src]                      # (m_cap, width)
-    # Two-level (blocked) prefix sums: the boundary differences then carry
-    # f32 error that grows with the 4096-entry block and the block chain
-    # instead of the full multi-million-entry running sum (whose magnitude
-    # would swamp gaussians with few entries — round-1 advisory). A Pallas
-    # O(n) scan was measured slower than XLA's cumsum at this width (15 vs
-    # 9 ms — the (·,16) layout wastes 7/8 of each vector register);
-    # see tools/experiments/pallas_scan.py.
+def _blocked_prefix(d_presort, m_cap):
+    """Two-level (blocked) prefix sums of the presort-ordered gradient rows:
+    the boundary differences then carry f32 error that grows with the
+    4096-entry block and the block chain instead of the full multi-million-
+    entry running sum (whose magnitude would swamp gaussians with few
+    entries — round-1 advisory). On TPU the MXU-blocked scan kernel computes
+    both levels in one pass (~1 ms vs ~9 ms for XLA's multi-pass cumsum at
+    this width; ops/pallas/scan.py). Returns (intra, block_pre, L)."""
+    width = d_presort.shape[1]
     L = 4096
     B = -(-m_cap // L)
     pad_rows = B * L - m_cap
     d_pad = jnp.pad(d_presort, ((0, pad_rows), (0, 0)))
-    intra = jnp.cumsum(d_pad.reshape(B, L, width),
-                       axis=1).reshape(B * L, width)
-    block_tot = intra[L - 1::L]                         # (B, width)
+    if jax.default_backend() == "tpu" and width == 16:
+        from gsplat_tpu.ops.pallas.scan import blocked_cumsum_16
+        intra, block_tot = blocked_cumsum_16(d_pad, L=L)
+    else:
+        intra = jnp.cumsum(d_pad.reshape(B, L, width),
+                           axis=1).reshape(B * L, width)
+        block_tot = intra[L - 1::L]                     # (B, width)
     block_pre = jnp.cumsum(block_tot, axis=0) - block_tot
+    return intra, block_pre, L
+
+
+def _prefix_at(intra, block_pre, L, bnd):
+    """cs(j) = inclusive prefix sum of the first j presort rows, evaluated
+    at positions ``bnd`` (any int array) from the blocked representation."""
+    jm1 = jnp.maximum(bnd - 1, 0)
+    v = intra[jm1] + block_pre[jm1 // L]
+    return jnp.where((bnd > 0)[..., None], v, 0.0)
+
+
+def _gather_entries_bwd(m_cap, res, d_aligned):
+    inv_src, g_offsets, g_counts, n_rows = res
+    width = d_aligned.shape[1]
+    d_presort = d_aligned[inv_src]                      # (m_cap, width)
+    intra, block_pre, L = _blocked_prefix(d_presort, m_cap)
 
     # Per-gaussian sums as ONE boundary-gather pass: entries of gaussian g
     # occupy [offsets[g], offsets[g+1]) presort (offsets is the exclusive
@@ -108,9 +128,7 @@ def _gather_entries_bwd(m_cap, res, d_aligned):
     # with cs(j) = inclusive prefix of the first j entries.
     total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
     bnd = jnp.clip(jnp.concatenate([g_offsets, total[None]]), 0, m_cap)
-    jm1 = jnp.maximum(bnd - 1, 0)
-    cs_b = intra[jm1] + block_pre[jm1 // L]             # (N+1, width)
-    cs_b = jnp.where((bnd > 0)[:, None], cs_b, 0.0)
+    cs_b = _prefix_at(intra, block_pre, L, bnd)         # (N+1, width)
     d_rows = cs_b[1:] - cs_b[:-1]                       # (N, width)
     d_packed = jnp.concatenate(
         [d_rows, jnp.zeros((n_rows - d_rows.shape[0], width),
@@ -209,7 +227,8 @@ def render(gaussians: GaussianParams,
         jax.lax.stop_gradient(pre.radius),
         rx=jax.lax.stop_gradient(pre.rx), ry=jax.lax.stop_gradient(pre.ry),
         image_width=W, image_height=H, tile_h=th, tile_w=tw, m_cap=m_cap,
-        align=cfg.chunk, sort_gaussians=True)
+        align=cfg.chunk, sort_gaussians=True,
+        pad_cap=None if cfg.pad_cap < 0 else cfg.pad_cap)
 
     # Per-gaussian tables in the binning's depth order (perm); the extra
     # row cap keeps the sentinel (= zero padding row) addressable. The
@@ -243,4 +262,5 @@ def render(gaussians: GaussianParams,
         image = jnp.clip(image, 0.0, 1.0)
 
     return RenderOutput(image=image, invdepth=invdepth, radii=pre.radius,
-                        num_pairs=b.num_pairs, overflow=b.overflow)
+                        num_pairs=b.num_pairs, overflow=b.overflow,
+                        num_padded=b.num_padded)

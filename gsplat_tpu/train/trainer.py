@@ -52,6 +52,8 @@ class StepAux(NamedTuple):
     num_pairs: jnp.ndarray
     overflow: jnp.ndarray
     radii: jnp.ndarray
+    num_padded: jnp.ndarray = None   # padded entry-layout extent (pad_cap
+    #   right-sizing; None on paths that don't surface it)
 
 
 def init_state(gaussians: gm.GaussianParams, n_images: int) -> TrainState:
@@ -204,7 +206,8 @@ def train_step(state: TrainState,
     new_state = finish_train_step(state, grads, exp_grads, stats, step, vis,
                                   opt=opt, spatial_lr_scale=spatial_lr_scale)
     aux = StepAux(loss=loss, l1=l1, depth_l1=dl1, num_pairs=out.num_pairs,
-                  overflow=out.overflow, radii=out.radii)
+                  overflow=out.overflow, radii=out.radii,
+                  num_padded=out.num_padded)
     return new_state, aux
 
 

@@ -135,6 +135,7 @@ def _loss_fn(use_pallas, g, cam, W, H, interpret=False):
     return loss
 
 
+@pytest.mark.slow
 def test_pallas_backward_matches_xla_autodiff(rng):
     W, H = TILE_W, 2 * TILE_H
     g, cam = make_scene(rng, n=200)
@@ -190,6 +191,7 @@ def test_binning_overflow_reporting(rng):
     assert int(out.overflow) > 0
 
 
+@pytest.mark.slow
 def test_python_path_overrides_match_builtin(rng):
     """override_color = eval_sh(...) and cov3d_precomp = get_covariance()
     must reproduce the built-in paths exactly (the reference's
@@ -216,6 +218,7 @@ def test_python_path_overrides_match_builtin(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_t_init_cut_matches_oracle(rng):
     """The incoming-transmittance carry (prim_shard exact cut): both
     compositors must apply a nontrivial t_init to the early-out test
@@ -269,3 +272,18 @@ def test_pallas_t_init_cut_matches_oracle(rng):
     # exactly above, so the cut semantics themselves are identical)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                rtol=1e-2, atol=1e-4)
+
+
+def test_blocked_cumsum_kernel_matches_xla(rng):
+    """ops/pallas/scan.py: the folded-lane MXU scan reproduces the blocked
+    XLA cumsum (the gather-VJP reduction's two-level prefix structure)
+    exactly — including the per-L-block reset and the block totals."""
+    from gsplat_tpu.ops.pallas.scan import blocked_cumsum_16
+    M, L = 512, 64
+    x = rng.standard_normal((M, 16)).astype(np.float32)
+    intra, tot = blocked_cumsum_16(jnp.asarray(x), L=L, interpret=True)
+    ref = np.cumsum(x.reshape(M // L, L, 16), axis=1).reshape(M, 16)
+    ref_tot = ref[L - 1::L]
+    np.testing.assert_allclose(np.asarray(intra), ref, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tot), ref_tot, rtol=1e-6,
+                               atol=1e-5)
