@@ -34,6 +34,14 @@ def main(argv=None):
                              "optimizer state and stats row-sharded over "
                              "all devices (for scenes beyond one chip's "
                              "memory; see SCALING.md)")
+    parser.add_argument("--shard_transient", default="replicated",
+                        choices=["replicated", "ring"],
+                        help="sharded-storage render-buffer strategy: "
+                             "'replicated' all_gathers the (N,16) packed "
+                             "rows per frame (fastest); 'ring' streams "
+                             "them slab-by-slab over ppermute so the "
+                             "per-chip transient is O(N/D) — for N beyond "
+                             "the replicated ceiling (SCALING.md)")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
     parser.add_argument("--checkpoint_interval", type=int, default=0,
@@ -82,7 +90,8 @@ def main(argv=None):
           args.start_checkpoint, network_gui_server=server, quiet=args.quiet,
           data_parallel=args.data_parallel,
           checkpoint_interval=args.checkpoint_interval,
-          shard_gaussians=args.shard_gaussians)
+          shard_gaussians=args.shard_gaussians,
+          shard_transient=args.shard_transient)
     print("\nTraining complete.")
 
 

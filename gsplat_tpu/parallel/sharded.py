@@ -48,7 +48,8 @@ from gsplat_tpu.models import gaussian_model as gm
 from gsplat_tpu.ops import binning as binning_lib
 from gsplat_tpu.ops import losses
 from gsplat_tpu.ops import preprocess as preprocess_lib
-from gsplat_tpu.ops.rasterize import (_gather_entries, _tiles_to_image,
+from gsplat_tpu.ops.rasterize import (_blocked_prefix, _gather_entries,
+                                      _prefix_at, _tiles_to_image,
                                       composite_dispatch, pack_rows)
 from gsplat_tpu.train import densify as densify_lib
 from gsplat_tpu.train import trainer
@@ -73,10 +74,89 @@ def shard_state(state: "trainer.TrainState", mesh: Mesh,
     return jax.tree_util.tree_map(place, state)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ring_gather_entries(packed_loc, idx, inv_src, g_offsets, g_counts,
+                         rank_inv, static):
+    """entries[e] = packed_global[idx[e]] where packed_global is the
+    row-sharded (N,16) parameter-derived table and ``packed_loc`` is this
+    chip's (N/D,16) slab — WITHOUT ever materializing the replicated (N,16)
+    buffer (the round-2 SCALING.md wall: 0.88 GB/chip at N=10M). The slab
+    streams around the ring in D ppermute steps; each chip accumulates the
+    rows it needs as the slab passes through. Per-chip transient: O(N/D)
+    floats + the local entry list.
+
+    idx: (m_loc_out,) global STORAGE-order row ids (idx = perm_ext[gidx] —
+    binning's depth permutation composed in); out-of-range ids (sentinels)
+    contribute zero. rank_inv: (N,) storage→depth-position inverse of the
+    binning permutation.
+
+    Backward: the transpose is a ring reduce-scatter — per step each chip
+    evaluates the per-gaussian boundary differences (the _gather_entries
+    cumsum trick) for ONE slab's rows and the partial sums travel the ring
+    in reverse, so each owner ends with exactly its rows' gradients summed
+    over all chips. Total gathered rows match the replicated path; only
+    the peak memory changes (D gathers of N/D rows instead of one of N).
+    """
+    return _ring_gather_impl(packed_loc, idx, static)
+
+
+def _ring_gather_impl(packed_loc, idx, static):
+    axis, n_dev, m_cap = static
+    rows = packed_loc.shape[0]
+    k = jax.lax.axis_index(axis)
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    ent = jnp.zeros((idx.shape[0], packed_loc.shape[1]), packed_loc.dtype)
+    slab = packed_loc
+    for s in range(n_dev):
+        owner = (k - s) % n_dev
+        rel = idx - owner * rows
+        inb = (rel >= 0) & (rel < rows)
+        ent = ent + jnp.where(inb[:, None],
+                              slab[jnp.where(inb, rel, 0)], 0.0)
+        if s < n_dev - 1:
+            slab = jax.lax.ppermute(slab, axis, fwd_perm)
+    return ent
+
+
+def _ring_gather_fwd(packed_loc, idx, inv_src, g_offsets, g_counts,
+                     rank_inv, static):
+    out = _ring_gather_impl(packed_loc, idx, static)
+    return out, (idx.shape[0], packed_loc.shape[0], inv_src, g_offsets,
+                 g_counts, rank_inv)
+
+
+def _ring_gather_bwd(static, res, d_aligned):
+    axis, n_dev, m_cap = static
+    _, rows, inv_src, g_offsets, g_counts, rank_inv = res
+    d_presort = d_aligned[inv_src]                       # (m_cap, 16)
+    intra, block_pre, L = _blocked_prefix(d_presort, m_cap)
+    total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
+    bnd = jnp.clip(jnp.concatenate([g_offsets, total[None]]), 0, m_cap)
+    k = jax.lax.axis_index(axis)
+
+    def partial_for(owner):
+        # this chip's gradient contribution to slab ``owner``'s rows
+        sid = owner * rows + jnp.arange(rows, dtype=jnp.int32)
+        dpos = rank_inv[sid]                             # depth positions
+        lo = _prefix_at(intra, block_pre, L, bnd[dpos])
+        hi = _prefix_at(intra, block_pre, L, bnd[dpos + 1])
+        return hi - lo                                   # (rows, 16)
+
+    rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    buf = partial_for((k + 1) % n_dev)
+    for s in range(1, n_dev):
+        buf = jax.lax.ppermute(buf, axis, rev_perm)
+        buf = buf + partial_for((k + 1 + s) % n_dev)
+    return buf, None, None, None, None, None
+
+
+_ring_gather_entries.defvjp(_ring_gather_fwd, _ring_gather_bwd)
+
+
 def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
                      *, axis, n_dev, W, H, n_tiles_y_pad, cfg,
                      m_cap_loc, antialiasing, scaling_modifier=1.0,
-                     interpret=False):
+                     interpret=False, transient="replicated"):
     """Runs per chip under shard_map: local preprocess → all_gather packed →
     local-tile-window binning + compositing → gathered image. Returns
     (image(3,H,W), invdepth(1,H,W), radius_loc, num_pairs, overflow)."""
@@ -100,10 +180,16 @@ def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
     packed_loc = pack_rows(pre)                              # (cap/D, 16)
     geom_loc = jnp.stack([pre.mean2d[:, 0], pre.mean2d[:, 1], pre.depth,
                           pre.radius, pre.rx, pre.ry], axis=-1)
-    # ---- the one forward collective: (N, 22) floats over ICI ----
-    packed = jax.lax.all_gather(packed_loc, axis, tiled=True)   # (N,16)
+    # ---- forward collectives over ICI ----
+    # binning GEOMETRY is always gathered: 6 f32/row (240 MB at N=10M) —
+    # the rect/key construction needs a global view. The 16-f32 packed
+    # render rows are gathered only on the "replicated" transient path;
+    # "ring" streams them slab-by-slab instead (O(N/D) peak), removing the
+    # dominant replicated term of the round-2 memory model (SCALING.md).
     geom = jax.lax.all_gather(jax.lax.stop_gradient(geom_loc), axis,
                               tiled=True)                       # (N,6)
+    if transient == "replicated":
+        packed = jax.lax.all_gather(packed_loc, axis, tiled=True)  # (N,16)
 
     # ---- local tile-row window: shift y so the standard binning runs on
     # a [0, rows_loc·th) window at per-chip m_cap ----
@@ -114,12 +200,23 @@ def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
         mean2d_w, geom[:, 2], geom[:, 3], rx=geom[:, 4], ry=geom[:, 5],
         image_width=W, image_height=rows_loc * th, tile_h=th, tile_w=tw,
         m_cap=m_cap_loc, align=cfg.chunk, sort_gaussians=True)
+    cap_total = n_dev * packed_loc.shape[0]
     perm_ext = jnp.concatenate(
-        [b.perm, jnp.full((1,), packed.shape[0], jnp.int32)])
-    packed_ext = jnp.concatenate(
-        [packed, jnp.zeros((1, 16), packed.dtype)], axis=0)[perm_ext]
-    entries = _gather_entries(packed_ext, b.gidx_sorted, b.inv_src,
-                              b.g_offsets, b.g_counts, m_cap_loc)
+        [b.perm, jnp.full((1,), cap_total, jnp.int32)])
+    if transient == "replicated":
+        packed_ext = jnp.concatenate(
+            [packed, jnp.zeros((1, 16), packed.dtype)], axis=0)[perm_ext]
+        entries = _gather_entries(packed_ext, b.gidx_sorted, b.inv_src,
+                                  b.g_offsets, b.g_counts, m_cap_loc)
+    else:
+        # depth permutation folds into the (stop-grad) global row ids; the
+        # sentinel id cap_total is out of every slab's range → zero row
+        rank_inv = jnp.zeros((cap_total,), jnp.int32).at[b.perm].set(
+            jnp.arange(cap_total, dtype=jnp.int32), unique_indices=True)
+        idx = perm_ext[b.gidx_sorted]
+        entries = _ring_gather_entries(packed_loc, idx, b.inv_src,
+                                       b.g_offsets, b.g_counts, rank_inv,
+                                       (axis, n_dev, m_cap_loc))
     # packed entries carry GLOBAL mean2d — give the compositor the global
     # tile-id origin so its pixel coordinates match (binning alone used the
     # shifted frame)
@@ -150,7 +247,8 @@ def make_sharded_render(mesh: Mesh, *, image_width: int, image_height: int,
                         cfg: RasterizerConfig, axis: str = "prim",
                         antialiasing: bool = False,
                         m_cap_total: Optional[int] = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        transient: str = "replicated"):
     """Build fn(gaussians_sharded, cam, bg) → ShardedRenderOut. Capacity
     must divide mesh[axis]."""
     n_dev = mesh.shape[axis]
@@ -170,7 +268,8 @@ def make_sharded_render(mesh: Mesh, *, image_width: int, image_height: int,
         shard_fn = functools.partial(
             _render_shard_fn, axis=axis, n_dev=n_dev, W=W, H=H,
             n_tiles_y_pad=n_tiles_y_pad, cfg=cfg, m_cap_loc=m_loc,
-            antialiasing=antialiasing, interpret=interpret)
+            antialiasing=antialiasing, interpret=interpret,
+            transient=transient)
 
         def wrapped(trainables_loc, active_loc, sh_degree, cam):
             return shard_fn(trainables_loc, active_loc, sh_degree, None, cam)
@@ -220,7 +319,8 @@ def make_sharded_dp_train_step(mesh: Mesh, *, image_width: int,
                                train_test_exp: bool = False,
                                use_depth: bool = False,
                                axis: str = "prim", data_axis: str = "data",
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               transient: str = "replicated"):
     """The 2D-mesh step: camera data-parallelism COMPOSED with gaussian-
     sharded storage. Each (data, prim) device renders its camera's tile
     rows from its parameter rows; gradients reduce over BOTH axes (psum
@@ -250,7 +350,8 @@ def make_sharded_dp_train_step(mesh: Mesh, *, image_width: int,
         base_fn = functools.partial(
             _render_shard_fn, axis=axis, n_dev=n_prim, W=W, H=H,
             n_tiles_y_pad=n_tiles_y_pad, cfg=rcfg, m_cap_loc=m_loc,
-            antialiasing=antialiasing, interpret=interpret)
+            antialiasing=antialiasing, interpret=interpret,
+            transient=transient)
 
         def shard_fn(trainables_loc, active_loc, sh_degree, tap_slice, cam):
             # replicated over data, but per-camera cotangents differ →
@@ -339,7 +440,8 @@ def make_sharded_train_step(mesh: Mesh, *, image_width: int,
                             use_sparse_adam: bool = False,
                             train_test_exp: bool = False,
                             use_depth: bool = False, axis: str = "prim",
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            transient: str = "replicated"):
     """Build the jitted sharded train step: (state_sharded, cam, gt, amask,
     invdepth_gt, depth_mask, bg) → (state_sharded, StepAux). Semantics match
     trainer.train_step with every per-gaussian quantity row-sharded."""
@@ -362,7 +464,8 @@ def make_sharded_train_step(mesh: Mesh, *, image_width: int,
         shard_fn = functools.partial(
             _render_shard_fn, axis=axis, n_dev=n_dev, W=W, H=H,
             n_tiles_y_pad=n_tiles_y_pad, cfg=rcfg, m_cap_loc=m_loc,
-            antialiasing=antialiasing, interpret=interpret)
+            antialiasing=antialiasing, interpret=interpret,
+            transient=transient)
 
         render_fn = jax.shard_map(
             shard_fn, mesh=mesh,

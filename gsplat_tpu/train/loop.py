@@ -39,7 +39,8 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
           checkpoint_iterations, start_checkpoint: Optional[str] = None,
           network_gui_server=None, quiet: bool = False,
           capacity_multiplier: float = 4.0, data_parallel: bool = False,
-          checkpoint_interval: int = 0, shard_gaussians: bool = False):
+          checkpoint_interval: int = 0, shard_gaussians: bool = False,
+          shard_transient: str = "replicated"):
     """Run the full optimization. Returns (scene, state)."""
     scene = Scene(dataset, dataset.sh_degree, capacity=0)
     n0 = int(np.asarray(scene.gaussians.num_active()))
@@ -121,7 +122,7 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
                       antialiasing=pipe.antialiasing,
                       use_sparse_adam=use_sparse_adam,
                       train_test_exp=dataset.train_test_exp,
-                      use_depth=use_depth)
+                      use_depth=use_depth, transient=shard_transient)
             if mesh_2d is not None:
                 dp_steps[(W, H)] = sharded_lib.make_sharded_dp_train_step(
                     mesh_2d, **kw)

@@ -6,6 +6,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/multi-device tier: full suite only
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -215,11 +217,14 @@ def test_prim_sharded_grads_match_single(rng):
                                rtol=1e-3, atol=5e-4)
 
 
-def test_sharded_storage_render_matches_single(rng):
+@pytest.mark.parametrize("transient", ["replicated", "ring"])
+def test_sharded_storage_render_matches_single(rng, transient):
     """Gaussian-sharded storage + tile-row-sharded rendering: per-chip
     params are CAP/8 rows, per-chip binning covers only its tile rows, and
     the assembled image equals the single-chip render near-bitwise (tiles
-    are independent — exact early-out semantics, unlike depth slabs)."""
+    are independent — exact early-out semantics, unlike depth slabs).
+    'ring' streams the packed rows slab-by-slab over ppermute instead of
+    all_gathering them (O(N/D) transient, parallel/sharded.py)."""
     from gsplat_tpu.parallel import sharded
     W, H = TILE_W, 8 * TILE_H
     g, cam = make_scene(rng, n=300, cap=320)   # 320 % 8 == 0
@@ -234,7 +239,7 @@ def test_sharded_storage_render_matches_single(rng):
             else jax.NamedSharding(mesh, jax.sharding.PartitionSpec())), g)
 
     render_fn = sharded.make_sharded_render(
-        mesh, image_width=W, image_height=H, cfg=rcfg)
+        mesh, image_width=W, image_height=H, cfg=rcfg, transient=transient)
     out_s = jax.jit(render_fn, static_argnums=())(g_sharded, cam, bg)
     assert int(out_s.overflow) == 0
     # per-chip shard shapes really are CAP/8
@@ -252,10 +257,12 @@ def test_sharded_storage_render_matches_single(rng):
     assert int(out_s.num_pairs) > 0
 
 
-def test_sharded_storage_train_step_matches_single(rng):
+@pytest.mark.parametrize("transient", ["replicated", "ring"])
+def test_sharded_storage_train_step_matches_single(rng, transient):
     """One sharded-storage train step == the single-chip step: same loss,
     same parameter update, same densify stats — with params, moments and
-    stats all row-sharded over the prim axis."""
+    stats all row-sharded over the prim axis. 'ring' exercises the
+    streamed-slab gather AND its ring reduce-scatter backward."""
     from gsplat_tpu.parallel import sharded
     W, H = TILE_W, 8 * TILE_H
     g, cam = make_scene(rng, n=100, cap=128)
@@ -272,7 +279,7 @@ def test_sharded_storage_train_step_matches_single(rng):
     state_sh = sharded.shard_state(state0, mesh)
     step_fn = sharded.make_sharded_train_step(
         mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
-        spatial_lr_scale=1.0)
+        spatial_lr_scale=1.0, transient=transient)
     state_s, aux_s = step_fn(state_sh, cam, gt, ones, zeros, zeros, bg)
 
     state_1, aux_1 = trainer.train_step(
