@@ -34,6 +34,11 @@ def main(argv=None):
                         default=os.environ.get("DB_DIR", ""))
     parser.add_argument("--scene_subset", nargs="+", default=None,
                         help="run only these scene names (e.g. garden truck)")
+    parser.add_argument("--iterations", type=int, default=None,
+                        help="override the 30k training schedule (extension "
+                             "over the reference orchestrator; used by the "
+                             "synthetic-dataset e2e run — renders/metrics "
+                             "then evaluate only this iteration)")
     args, _ = parser.parse_known_args(argv if argv is not None
                                       else sys.argv[1:])
     if args.scene_subset is not None:
@@ -74,6 +79,13 @@ def main(argv=None):
     # writes timing.txt with undefined variables when --skip_training is set
     # — a latent NameError we do not replicate).
     timings = {}
+    if args.iterations is not None:
+        extra += ["--iterations", str(args.iterations),
+                  "--save_iterations", str(args.iterations)]
+        eval_iters = [str(args.iterations)]
+    else:
+        eval_iters = ["7000", "30000"]
+
     if not args.skip_training:
         from gsplat_tpu.cli import train as train_cli
         for src, name, img_args in scenes():
@@ -89,7 +101,7 @@ def main(argv=None):
     if not args.skip_rendering:
         from gsplat_tpu.cli import render as render_cli
         for src, name, _ in scenes():
-            for it in ["7000", "30000"]:
+            for it in eval_iters:
                 render_cli.main(["-s", src, "-m",
                                  os.path.join(args.output_path, name),
                                  "--iteration", it, "--quiet", "--eval",
