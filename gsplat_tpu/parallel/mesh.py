@@ -48,7 +48,17 @@ def init_distributed() -> bool:
     if _DIST_INITIALIZED:
         return True
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        # jax.distributed.initialize() only auto-detects managed clusters
+        # (SLURM/GKE/...); for the plain env contract documented above the
+        # three values must be passed explicitly (verified by
+        # tests/test_multihost.py's real 2-process run).
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kw)
         _DIST_INITIALIZED = True
         print(f"[dist] process {jax.process_index()}/{jax.process_count()}, "
               f"{jax.local_device_count()} local of "
