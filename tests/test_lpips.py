@@ -18,6 +18,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/multi-device tier: full suite only
+
 torch = pytest.importorskip("torch")
 
 # VGG16 "D" feature config: (channels, convs per block)
@@ -147,3 +149,47 @@ def test_metrics_cli_reports_finite_lpips_with_weights(tmp_path, rng,
     results = json.load(open(model / "results.json"))
     lp = results["ours_7"]["LPIPS"]
     assert np.isfinite(lp) and lp > 0, f"LPIPS not computed: {lp}"
+
+
+def test_weight_converter_from_torch_state_dicts(tmp_path, rng, monkeypatch):
+    """tools/convert_lpips_weights.py --vgg_pth/--lin_pth: a torchvision-
+    layout VGG16 state dict + a richzhang-layout calibration dict convert to
+    the npz our loader consumes, and the resulting LPIPS equals computing
+    with the raw arrays directly (validates the layout mapping, the part the
+    shared-weights oracle test above cannot see)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import convert_lpips_weights as conv
+    from gsplat_tpu.ops import lpips as lpips_mod
+
+    convs, lins = _random_weights(rng)
+    vgg_sd = {}
+    for (w, b), idx in zip(convs, conv.VGG16_CONV_IDXS):
+        vgg_sd[f"features.{idx}.weight"] = torch.tensor(w)
+        vgg_sd[f"features.{idx}.bias"] = torch.tensor(b)
+    lin_sd = {f"lin{j}.model.1.weight":
+              torch.tensor(lin.reshape(1, -1, 1, 1))
+              for j, lin in enumerate(lins)}
+    vgg_pth = tmp_path / "vgg16.pth"
+    lin_pth = tmp_path / "lin.pth"
+    torch.save(vgg_sd, vgg_pth)
+    torch.save(lin_sd, lin_pth)
+
+    out = tmp_path / "lpips_vgg.npz"
+    conv.main(["--out", str(out), "--vgg_pth", str(vgg_pth),
+               "--lin_pth", str(lin_pth)])
+
+    data = np.load(out)
+    assert data["conv0_w"].shape == (64, 3, 3, 3)
+    assert data["conv12_w"].shape == (512, 512, 3, 3)
+    assert data["lin4"].shape == (512,)
+    np.testing.assert_array_equal(data["conv3_w"], convs[3][0])
+    np.testing.assert_array_equal(data["lin2"], lins[2])
+
+    # end-to-end: the converted file drives lpips_vgg()
+    monkeypatch.setenv("GSPLAT_LPIPS_WEIGHTS", str(out))
+    fn = lpips_mod.lpips_vgg()
+    x = rng.uniform(0, 1, (1, 3, 48, 64)).astype(np.float32)
+    y = rng.uniform(0, 1, (1, 3, 48, 64)).astype(np.float32)
+    v = float(fn(x, y))
+    assert np.isfinite(v) and v > 0
