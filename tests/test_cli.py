@@ -9,6 +9,8 @@ import struct
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/multi-device tier: full suite only
+
 from gsplat_tpu.scene import colmap as colmap_lib
 
 
