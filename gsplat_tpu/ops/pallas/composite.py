@@ -235,6 +235,81 @@ def _composite_fwd_call(entries, tile_start, tile_count, tile_base, t_init,
     return accum, t_final, nc
 
 
+# ------------------------------------------------- transmittance-only pass
+
+def _tmit_kernel(ct_ref, rank0_ref, cnt_ref, dma_ref, entries_ref, out_ref,
+                 *, G: int, P: int, n_tiles_x: int, tile_h: int, tile_w: int,
+                 alpha_min: float, alpha_max: float):
+    # Accumulates Σ log1p(-a1) per pixel — the CUT-FREE slab transmittance
+    # in log space. No triangular matmuls, no color contraction, no
+    # done/contributor bookkeeping: ~the alpha evaluation alone, which is
+    # the cheap part of compositing. Used by the depth-slab exact-cut
+    # pre-pass (parallel/prim_shard.py), which previously paid a full
+    # cut-free composite per slab (round-2 review finding).
+    i = pl.program_id(0)
+    t = ct_ref[i]
+    rank0 = rank0_ref[i]
+    count = cnt_ref[i]
+
+    @pl.when(rank0 == 0)
+    def _init():
+        out_ref[:] = jnp.zeros((1, P), jnp.float32)
+
+    @pl.when(rank0 < count)
+    def _step():
+        px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        data = entries_ref[:]
+        _, _, power, alpha_raw = _alpha_terms(data, px, py)
+        alpha = jnp.minimum(alpha_raw, alpha_max)
+        valid = (rank0 + g_iota) < count
+        a1 = jnp.where(valid & (alpha >= alpha_min) & (power <= 0.0),
+                       alpha, 0.0)
+        out_ref[:] = out_ref[:] + jnp.sum(jnp.log1p(-a1), axis=0,
+                                          keepdims=True)
+
+
+def slab_transmittance_pallas(entries, tile_start, tile_count, *, n_tiles_x,
+                              n_tiles_y, tile_h, tile_w, chunk=128,
+                              alpha_min=1.0 / 255.0, alpha_max=0.99,
+                              interpret=False):
+    """(T, P) cut-free transmittance Π(1-α) over each tile's whole entry
+    list. Equals composite(t_eps=0).t_final (tested) at a fraction of the
+    cost. Non-differentiable by intent (callers stop_gradient anyway)."""
+    T = n_tiles_x * n_tiles_y
+    P = tile_h * tile_w
+    G = chunk
+    M = entries.shape[0]
+    n_chunks = M // G
+    ct, rank0, cnt, dma, _end = chunk_tables(
+        tile_start, tile_count, n_tiles=T, chunk=G, n_chunks=n_chunks,
+        with_dma=True)
+    kernel = functools.partial(
+        _tmit_kernel, G=G, P=P, n_tiles_x=n_tiles_x, tile_h=tile_h,
+        tile_w=tile_w, alpha_min=alpha_min, alpha_max=alpha_max)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G, 16), lambda i, ct, r0, cn, dm: (dm[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P), lambda i, ct, r0, cn, dm: (ct[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    lg = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T + 1, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(ct, rank0, cnt, dma, entries)
+    # empty tiles are never visited: mask to T=1
+    return jnp.where((tile_count == 0)[:, None], 1.0,
+                     jnp.exp(lg[:T]))
+
+
 # ---------------------------------------------------------------- backward
 
 def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, out_idx_ref,

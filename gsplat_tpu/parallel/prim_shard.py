@@ -132,18 +132,31 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
                                   b.g_offsets, b.g_counts, m_cap)
         t_arrive = None
         if exact_cut:
-            # pass 1: cut-free per-slab transmittance (t_eps=0 disables the
-            # early-out); its exclusive product over nearer slabs is the
-            # transmittance each pixel arrives with — fed to pass 2's cut
-            # test for single-chip-parity termination.
-            import dataclasses as _dc
-            pre_pass = composite_dispatch(
-                jax.lax.stop_gradient(entries), b.tile_start, b.tile_count,
-                _dc.replace(cfg, transmittance_eps=0.0),
-                n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y,
-                interpret=interpret)
+            # pass 1: cut-free per-slab transmittance Π(1-α); its exclusive
+            # product over nearer slabs is the transmittance each pixel
+            # arrives with — fed to pass 2's cut test for single-chip-parity
+            # termination. Needs NO compositing order, so it runs as the
+            # dedicated log-sum kernel (~the alpha evaluation alone — the
+            # previous full cut-free composite per slab roughly doubled the
+            # sharded forward; round-2 review finding).
+            if cfg.use_pallas:
+                from gsplat_tpu.ops.pallas.composite import \
+                    slab_transmittance_pallas
+                t_slab = slab_transmittance_pallas(
+                    jax.lax.stop_gradient(entries), b.tile_start,
+                    b.tile_count, n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y,
+                    tile_h=th, tile_w=tw, chunk=cfg.chunk,
+                    alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
+                    interpret=interpret)
+            else:
+                import dataclasses as _dc
+                t_slab = composite_dispatch(
+                    jax.lax.stop_gradient(entries), b.tile_start,
+                    b.tile_count, _dc.replace(cfg, transmittance_eps=0.0),
+                    n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y,
+                    interpret=interpret).t_final
             t_nocut = jax.lax.all_gather(
-                jax.lax.stop_gradient(pre_pass.t_final), axis)  # (D,T,P)
+                jax.lax.stop_gradient(t_slab), axis)            # (D,T,P)
             t_arrive = jnp.cumprod(jnp.concatenate(
                 [jnp.ones_like(t_nocut[:1]), t_nocut[:-1]], axis=0),
                 axis=0)[jax.lax.axis_index(axis)]               # (T,P)

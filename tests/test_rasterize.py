@@ -287,3 +287,37 @@ def test_blocked_cumsum_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(intra), ref, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tot), ref_tot, rtol=1e-6,
                                atol=1e-5)
+
+
+def test_slab_transmittance_matches_cutfree_composite(rng):
+    """ops/pallas/composite.slab_transmittance_pallas: the log-sum kernel
+    must equal the full compositor's t_final with the cut disabled
+    (t_eps=0) — the quantity the depth-slab exact-cut pre-pass consumes."""
+    from gsplat_tpu.ops.pallas.composite import (composite_tiles_pallas,
+                                                 slab_transmittance_pallas)
+    W, H = 2 * TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=300)
+    c = cfg(chunk=16)
+    pre = pre_lib.preprocess(
+        g.xyz, g.get_scaling(), g.get_rotation(), g.get_opacity(),
+        g.get_features(), g.active_sh_degree, cam, W, H,
+        active_mask=g.active)
+    ntx, nty = W // TILE_W, H // TILE_H
+    b = binning_lib.bin_gaussians(
+        pre.mean2d, pre.depth, pre.radius, rx=pre.rx, ry=pre.ry,
+        image_width=W, image_height=H, tile_h=TILE_H, tile_w=TILE_W,
+        m_cap=int(g.capacity * c.pairs_per_gaussian), align=c.chunk,
+        sort_gaussians=True)
+    perm_ext = jnp.concatenate([b.perm, jnp.full((1,), g.capacity,
+                                                 jnp.int32)])
+    entries = rasterize._gather_entries(
+        rasterize.pack_entries(pre)[perm_ext], b.gidx_sorted, b.inv_src,
+        b.g_offsets, b.g_counts, b.gidx_sorted.shape[0])
+    kw = dict(n_tiles_x=ntx, n_tiles_y=nty, tile_h=TILE_H, tile_w=TILE_W,
+              chunk=c.chunk, alpha_min=c.alpha_min, alpha_max=c.alpha_max)
+    ref = composite_tiles_pallas(entries, b.tile_start, b.tile_count,
+                                 t_eps=0.0, interpret=True, **kw)
+    t_fast = slab_transmittance_pallas(entries, b.tile_start, b.tile_count,
+                                       interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(t_fast), np.asarray(ref.t_final),
+                               rtol=1e-5, atol=1e-6)
