@@ -189,9 +189,8 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             bg = bg_color
 
         if data_batch > 1:
-            # fill the batch with same-resolution cameras (with replacement
-            # if the stack runs dry mid-batch); remove by identity — Camera
-            # holds numpy arrays, so == is not usable
+            # fill the batch with same-resolution cameras; remove by
+            # identity — Camera holds numpy arrays, so == is not usable
             batch = [cam]
             rest_idx = [i for i, c in enumerate(viewpoint_stack)
                         if (c.width, c.height) == (W, H)]
@@ -200,9 +199,16 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             for i in taken:
                 batch.append(viewpoint_stack.pop(i))
             while len(batch) < data_batch:
-                batch.append(random.choice(
-                    [c for c in scene.getTrainCameras()
-                     if (c.width, c.height) == (W, H)]))
+                # stack ran dry mid-batch: start the next epoch (the
+                # reference refills its stack when empty, train.py) and
+                # keep drawing WITHOUT replacement from it
+                viewpoint_stack.extend(scene.getTrainCameras())
+                idxs = [i for i, c in enumerate(viewpoint_stack)
+                        if (c.width, c.height) == (W, H)]
+                random.shuffle(idxs)
+                for i in sorted(idxs[:data_batch - len(batch)],
+                                reverse=True):
+                    batch.append(viewpoint_stack.pop(i))
             arrays = [_cam_arrays(c) for c in batch]
             from gsplat_tpu.parallel import dp as dp_lib
             cam_b = dp_lib.stack_camera_batch(batch)
