@@ -25,6 +25,39 @@ import jax.numpy as jnp  # noqa: E402
 BASELINE_PIX_PER_S = 1.4e7
 
 
+def _trained_scene(ply_path):
+    """Workload from a TRAINED point_cloud.ply (e.g. tools/soak_30k.sh
+    output): real splat-scale/opacity statistics instead of the synthetic
+    stand-in. Camera orbits the cloud's centroid at its bounding radius."""
+    import dataclasses
+    import jax.numpy as jnp
+    from gsplat_tpu.core.camera import CameraView
+    from gsplat_tpu.models import gaussian_model as gm
+    from gsplat_tpu.scene import ply as ply_lib
+
+    data = ply_lib.load_gaussian_ply(ply_path)
+    n = data["xyz"].shape[0]
+    max_deg = int(round((data["f_rest"].shape[1] + 1) ** 0.5)) - 1
+    g = gm.empty(n, max_deg)
+    g = dataclasses.replace(
+        g, xyz=g.xyz.at[:n].set(data["xyz"]),
+        f_dc=g.f_dc.at[:n].set(data["f_dc"]),
+        f_rest=g.f_rest.at[:n].set(data["f_rest"]),
+        scaling=g.scaling.at[:n].set(data["scaling"]),
+        rotation=g.rotation.at[:n].set(data["rotation"]),
+        opacity=g.opacity.at[:n].set(data["opacity"]),
+        active=g.active.at[:n].set(True),
+        active_sh_degree=jnp.asarray(max_deg, jnp.int32))
+    center = data["xyz"].mean(axis=0)
+    radius = float(np.percentile(
+        np.linalg.norm(data["xyz"] - center, axis=1), 90)) * 2.5
+    # camera on +z of the centroid looking down -z at it (world→cam R=I)
+    T = -center.astype(np.float32)
+    T[2] += radius
+    cam = CameraView.create(R=np.eye(3), T=T, fovx=1.2, fovy=0.9)
+    return g, cam, n
+
+
 def main():
     import dataclasses
     from gsplat_tpu.config import OptimizationConfig, RasterizerConfig
@@ -32,27 +65,33 @@ def main():
     from gsplat_tpu.models import gaussian_model as gm
     from gsplat_tpu.train import trainer
 
+    ply_path = sys.argv[sys.argv.index("--ply") + 1] \
+        if "--ply" in sys.argv else None
     on_tpu = jax.default_backend() == "tpu"
     W, H = (1920, 1080) if on_tpu else (256, 128)
-    n = 200_000 if on_tpu else 2_000
-    cap = n
 
     rng = np.random.default_rng(0)
-    pts = rng.standard_normal((n, 3)).astype(np.float32) * 2.0
-    # keep the cloud away from the near plane: a handful of near-camera
-    # points otherwise project to giant splats that dominate the pair list
-    # (unrepresentative of trained scenes, where such splats get pruned)
-    pts[:, 2] = np.abs(pts[:, 2]) + 4.0
-    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    g = gm.create_from_pcd(pts, colors, max_sh_degree=3, capacity=cap)
-    # shrink the 3-NN init splats to trained-scene statistics: real scenes
-    # run ~2-10 (tile,depth) pairs per gaussian at 1080p/16x16 tiles, while
-    # raw nearest-neighbor scales on a 200k cloud give ~60 — unrepresentative
-    g = dataclasses.replace(
-        g, active_sh_degree=jnp.asarray(3, jnp.int32),
-        scaling=g.scaling - 1.0,
-        opacity=g.opacity.at[:].set(0.0))
-    cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
+    if ply_path:
+        g, cam, n = _trained_scene(ply_path)
+    else:
+        n = 200_000 if on_tpu else 2_000
+        cap = n
+        pts = rng.standard_normal((n, 3)).astype(np.float32) * 2.0
+        # keep the cloud away from the near plane: a handful of near-camera
+        # points otherwise project to giant splats that dominate the pair
+        # list (unrepresentative of trained scenes, where they get pruned)
+        pts[:, 2] = np.abs(pts[:, 2]) + 4.0
+        colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        g = gm.create_from_pcd(pts, colors, max_sh_degree=3, capacity=cap)
+        # shrink the 3-NN init splats to trained-scene statistics: real
+        # scenes run ~2-10 (tile,depth) pairs per gaussian at 1080p/16x16
+        # tiles; raw nearest-neighbor scales on a 200k cloud give ~60
+        g = dataclasses.replace(
+            g, active_sh_degree=jnp.asarray(3, jnp.int32),
+            scaling=g.scaling - 1.0,
+            opacity=g.opacity.at[:].set(0.0))
+        cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2,
+                                fovy=0.9)
 
     opt = OptimizationConfig()
     # generous first-guess headroom; right-sized below from the measured
@@ -116,9 +155,12 @@ def main():
         f"pair list truncated during timing ({int(ovf_max)} dropped max)")
 
     pix_per_s = W * H * iters / best_dt
+    metric = "pixels_per_s_fwd_bwd_1080p" if on_tpu \
+        else "pixels_per_s_fwd_bwd_small"
+    if ply_path:
+        metric += "_trained"
     print(json.dumps({
-        "metric": "pixels_per_s_fwd_bwd_1080p" if on_tpu
-        else "pixels_per_s_fwd_bwd_small",
+        "metric": metric,
         "value": round(pix_per_s, 1),
         "unit": "pixels/s/chip",
         "vs_baseline": round(pix_per_s / BASELINE_PIX_PER_S, 4),
