@@ -98,6 +98,19 @@ class RasterizerConfig:
     # adapts it (grow on overflow + retry, shrink when over-provisioned)
     # and re-jits — a rare event after warm-up.
     pairs_per_gaussian: float = 12.0   # M_cap = ceil(cap * this), rounded up
+    # Per-tile-row ellipse culling (ops/binning.py): expand each gaussian
+    # to the level-set ellipse's exact x-interval per tile row instead of
+    # its full bounding rect. Conservative — the compositor's alpha_min cut
+    # already zeroes everything dropped — so images are unchanged while the
+    # pair count (the dominant cost driver) shrinks.
+    row_cull: bool = True
+    # Static capacity of the intermediate (gaussian, tile-row) list the
+    # culled expansion goes through; adapted by the host like
+    # pairs_per_gaussian but INDEPENDENTLY — culling shrinks the observed
+    # pair count but not the row count, so tying row capacity to M_cap
+    # (the -1 legacy: M_cap//2) lets a pair-capacity shrink strangle the
+    # rows and oscillate grow/shrink every adaptation window.
+    rows_per_gaussian: float = 7.0    # row_cap = ceil(cap * this); -1 = auto
     # Static budget for the chunk-alignment padding of the entry list
     # (ops/binning.py align path). -1 = the safe worst case align*n_tiles;
     # hosts that probe a frame first (bench.py) right-size it from the
@@ -125,7 +138,12 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type, prefix=""):
             default = f.default_factory()  # type: ignore
         args = [name] + (["-" + f.name[0]] if shorthand else [])
         if f.type in (bool, "bool"):
-            group.add_argument(*args, default=default, action="store_true")
+            if default:       # True-default bools need an off switch too
+                group.add_argument(*args, default=default,
+                                   action=argparse.BooleanOptionalAction)
+            else:
+                group.add_argument(*args, default=default,
+                                   action="store_true")
         else:
             ty = {int: int, float: float, str: str,
                   "int": int, "float": float, "str": str}.get(f.type, str)

@@ -38,6 +38,11 @@ class Preprocessed(NamedTuple):
     # far fewer tiles (the dominant cost driver is the pair count).
     rx: jnp.ndarray          # (N,) float; 0 = culled
     ry: jnp.ndarray          # (N,)
+    # Level-set threshold t = 2·ln(op_eff/alpha_min)+slack: the entry
+    # contributes somewhere iff dᵀ·conic·d ≤ t. Lets binning solve the
+    # ellipse's exact x-interval PER TILE ROW (per-row culling) instead of
+    # covering the whole rx×ry rect. 0 = culled.
+    t_cut: jnp.ndarray = None   # (N,)
 
 
 def ndc2pix(v, size):
@@ -212,4 +217,5 @@ def preprocess(xyz: jnp.ndarray,            # (N,3)
 
     return Preprocessed(mean2d=mean2d, depth=depth, conic=conic, color=color,
                         opacity=opacity_eff, radius=radius, invdepth=invdepth,
-                        rx=rx, ry=ry)
+                        rx=rx, ry=ry,
+                        t_cut=jnp.where(tight_visible, t_cut, 0.0))

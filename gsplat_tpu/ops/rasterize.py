@@ -21,6 +21,7 @@ gradients that feed densification thresholds.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -42,6 +43,8 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray     # () int32 — dropped pairs (should be 0)
     num_padded: jnp.ndarray = None  # () int32 — padded layout extent
     #   (for host pad_cap right-sizing; see RasterizerConfig.pad_cap)
+    num_rows: jnp.ndarray = None    # () int32 — (gaussian, tile-row) pairs
+    #   (row_cull only; for host rows_per_gaussian right-sizing)
 
 
 def pack_rows(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
@@ -222,13 +225,19 @@ def render(gaussians: GaussianParams,
         tap_px = mean2d_tap * jnp.array([[0.5 * W, 0.5 * H]], jnp.float32)
         pre = pre._replace(mean2d=pre.mean2d + tap_px)
 
+    cull_kw = {}
+    if cfg.row_cull:
+        cull_kw = dict(conic=jax.lax.stop_gradient(pre.conic),
+                       t_cut=jax.lax.stop_gradient(pre.t_cut),
+                       row_cap=None if cfg.rows_per_gaussian < 0
+                       else int(math.ceil(cap * cfg.rows_per_gaussian)))
     b = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(pre.mean2d), jax.lax.stop_gradient(pre.depth),
         jax.lax.stop_gradient(pre.radius),
         rx=jax.lax.stop_gradient(pre.rx), ry=jax.lax.stop_gradient(pre.ry),
         image_width=W, image_height=H, tile_h=th, tile_w=tw, m_cap=m_cap,
         align=cfg.chunk, sort_gaussians=True,
-        pad_cap=None if cfg.pad_cap < 0 else cfg.pad_cap)
+        pad_cap=None if cfg.pad_cap < 0 else cfg.pad_cap, **cull_kw)
 
     # Per-gaussian tables in the binning's depth order (perm); the extra
     # row cap keeps the sentinel (= zero padding row) addressable. The
@@ -263,4 +272,4 @@ def render(gaussians: GaussianParams,
 
     return RenderOutput(image=image, invdepth=invdepth, radii=pre.radius,
                         num_pairs=b.num_pairs, overflow=b.overflow,
-                        num_padded=b.num_padded)
+                        num_padded=b.num_padded, num_rows=b.num_rows)

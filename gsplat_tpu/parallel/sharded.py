@@ -178,10 +178,15 @@ def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
         pre = pre._replace(mean2d=pre.mean2d + tap_px)
 
     packed_loc = pack_rows(pre)                              # (cap/D, 16)
-    geom_loc = jnp.stack([pre.mean2d[:, 0], pre.mean2d[:, 1], pre.depth,
-                          pre.radius, pre.rx, pre.ry], axis=-1)
+    geom_cols = [pre.mean2d[:, 0], pre.mean2d[:, 1], pre.depth,
+                 pre.radius, pre.rx, pre.ry]
+    if cfg.row_cull:                      # +4: conic + level-set threshold
+        geom_cols += [pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2],
+                      pre.t_cut]
+    geom_loc = jnp.stack(geom_cols, axis=-1)
     # ---- forward collectives over ICI ----
-    # binning GEOMETRY is always gathered: 6 f32/row (240 MB at N=10M) —
+    # binning GEOMETRY is always gathered: 6 f32/row (240 MB at N=10M;
+    # 10 with row_cull — repaid by the pair-count shrink) —
     # the rect/key construction needs a global view. The 16-f32 packed
     # render rows are gathered only on the "replicated" transient path;
     # "ring" streams them slab-by-slab instead (O(N/D) peak), removing the
@@ -196,10 +201,13 @@ def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
     mean2d_w = jnp.stack(
         [geom[:, 0], geom[:, 1] - (k * rows_loc * th).astype(jnp.float32)],
         axis=-1)
+    cull_kw = {}
+    if cfg.row_cull:
+        cull_kw = dict(conic=geom[:, 6:9], t_cut=geom[:, 9])
     b = binning_lib.bin_gaussians(
         mean2d_w, geom[:, 2], geom[:, 3], rx=geom[:, 4], ry=geom[:, 5],
         image_width=W, image_height=rows_loc * th, tile_h=th, tile_w=tw,
-        m_cap=m_cap_loc, align=cfg.chunk, sort_gaussians=True)
+        m_cap=m_cap_loc, align=cfg.chunk, sort_gaussians=True, **cull_kw)
     cap_total = n_dev * packed_loc.shape[0]
     perm_ext = jnp.concatenate(
         [b.perm, jnp.full((1,), cap_total, jnp.int32)])

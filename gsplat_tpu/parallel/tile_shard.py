@@ -74,6 +74,10 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
         shift = (k * rows_loc * th).astype(jnp.float32)
         mean2d_w = jnp.stack(
             [pre.mean2d[:, 0], pre.mean2d[:, 1] - shift], axis=-1)
+        cull_kw = {}
+        if cfg.row_cull:
+            cull_kw = dict(conic=jax.lax.stop_gradient(pre.conic),
+                           t_cut=jax.lax.stop_gradient(pre.t_cut))
         b = binning_lib.bin_gaussians(
             jax.lax.stop_gradient(mean2d_w),
             jax.lax.stop_gradient(pre.depth),
@@ -81,7 +85,7 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
             rx=jax.lax.stop_gradient(pre.rx),
             ry=jax.lax.stop_gradient(pre.ry),
             image_width=W, image_height=rows_loc * th, tile_h=th, tile_w=tw,
-            m_cap=m_loc, align=cfg.chunk, sort_gaussians=True)
+            m_cap=m_loc, align=cfg.chunk, sort_gaussians=True, **cull_kw)
         perm_ext = jnp.concatenate(
             [b.perm, jnp.full((1,), cap, jnp.int32)])
         entries = _gather_entries(pack_entries(pre)[perm_ext],

@@ -321,3 +321,83 @@ def test_slab_transmittance_matches_cutfree_composite(rng):
                                        interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(t_fast), np.asarray(ref.t_final),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_row_cull_exact_and_tighter(rng):
+    """Per-tile-row ellipse culling (ops/binning.py conic/t_cut path).
+
+    The rigorous property: every (tile, gaussian) pair the culled binning
+    drops has max-over-tile-pixels alpha < alpha_min — exactly what the
+    compositor zeroes — and no pair is ever ADDED. Checked explicitly
+    against the conic quadratic below. The image comparison then only sees
+    summation-regrouping float noise (culling shifts chunk boundaries, so
+    ~100-term f32 accumulations reassociate — measured ~1e-4 max here)."""
+    n = 300
+    g, cam = make_scene(rng, n=n)
+    # elongate + rotate: worst case for rect binning
+    g = dataclasses.replace(
+        g, scaling=g.scaling.at[:, 1].add(-1.5).at[:, 0].add(0.7))
+    W, H = 2 * TILE_W, 4 * TILE_H
+    pre = pre_lib.preprocess(
+        g.xyz, g.get_scaling(), g.get_rotation(), g.get_opacity(),
+        g.get_features(), g.active_sh_degree, cam, W, H,
+        active_mask=g.active)
+    kw = dict(image_width=W, image_height=H, tile_h=TILE_H, tile_w=TILE_W,
+              m_cap=48 * n, align=1, sort_gaussians=True)
+    b0 = binning_lib.bin_gaussians(pre.mean2d, pre.depth, pre.radius,
+                                   rx=pre.rx, ry=pre.ry, **kw)
+    b1 = binning_lib.bin_gaussians(pre.mean2d, pre.depth, pre.radius,
+                                   rx=pre.rx, ry=pre.ry, conic=pre.conic,
+                                   t_cut=pre.t_cut, **kw)
+    assert int(b1.num_pairs) < int(b0.num_pairs)
+    ntx = W // TILE_W
+    T = ntx * (H // TILE_H)
+    ts0, tc0 = np.asarray(b0.tile_start), np.asarray(b0.tile_count)
+    ts1, tc1 = np.asarray(b1.tile_start), np.asarray(b1.tile_count)
+    perm_ext0 = np.append(np.asarray(b0.perm), n)      # sentinel gidx = n
+    perm_ext1 = np.append(np.asarray(b1.perm), n)
+    gs0 = perm_ext0[np.asarray(b0.gidx_sorted)]
+    gs1 = perm_ext1[np.asarray(b1.gidx_sorted)]
+    conic = np.asarray(pre.conic)
+    mean2d = np.asarray(pre.mean2d)
+    t_cut = np.asarray(pre.t_cut)
+    for t in range(T):
+        s0 = set(gs0[ts0[t]:ts0[t] + tc0[t]])
+        s1 = set(gs1[ts1[t]:ts1[t] + tc1[t]])
+        assert s1 <= s0, f"tile {t}: culled binning ADDED pairs {s1 - s0}"
+        ox, oy = (t % ntx) * TILE_W, (t // ntx) * TILE_H
+        xs, ys = np.meshgrid(np.arange(ox, ox + TILE_W),
+                             np.arange(oy, oy + TILE_H))
+        for gg in s0 - s1:
+            dx = xs - mean2d[gg, 0]
+            dy = ys - mean2d[gg, 1]
+            ca, cb, cc = conic[gg]
+            q = ca * dx * dx + 2 * cb * dx * dy + cc * dy * dy
+            assert q.min() > t_cut[gg], \
+                f"tile {t} wrongly dropped visible gaussian {gg}"
+
+    c0 = cfg(row_cull=False, pairs_per_gaussian=48.0)
+    c1 = cfg(row_cull=True, pairs_per_gaussian=48.0)
+    out0 = rasterize.render(g, cam, W, H, jnp.zeros(3), c0, clamp=False)
+    out1 = rasterize.render(g, cam, W, H, jnp.zeros(3), c1, clamp=False)
+    assert int(out0.overflow) == 0 and int(out1.overflow) == 0
+    np.testing.assert_allclose(np.asarray(out1.image),
+                               np.asarray(out0.image), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out1.invdepth),
+                               np.asarray(out0.invdepth), atol=2e-4)
+    # gradients flow through the culled entry list unchanged. atol covers
+    # sub-threshold entries present-but-zeroed in one path vs absent in
+    # the other: their exact-0 grad vs the other path's reassociation
+    # residue (~1e-6) trips any pure-rtol check.
+    tr = gm.trainables(g)
+
+    def loss(trains, use_cull):
+        params = gm.with_trainables(g, trains)
+        out = rasterize.render(params, cam, W, H, jnp.zeros(3),
+                               c1 if use_cull else c0, clamp=False)
+        return jnp.abs(out.image - 0.5).mean()
+    g0 = jax.grad(functools.partial(loss, use_cull=False))(tr)
+    g1 = jax.grad(functools.partial(loss, use_cull=True))(tr)
+    for k in ("xyz", "opacity", "scaling"):
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=5e-3, atol=1e-5)
