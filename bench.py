@@ -128,10 +128,7 @@ def main():
     # kernel grid step scales with the padded static extent
     pad_used = int(aux.num_padded) - int(aux.num_pairs)
     pad_cap = max(rcfg.chunk, int(pad_used * 1.5))
-    rpg = rcfg.rows_per_gaussian if aux.num_rows is None \
-        else max(int(aux.num_rows) * 1.3 / n, 1.0)
-    rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=ppg, pad_cap=pad_cap,
-                               rows_per_gaussian=rpg)
+    rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=ppg, pad_cap=pad_cap)
     state, aux = step(state0)
     jax.block_until_ready(state.gaussians.xyz)
     assert int(aux.overflow) == 0

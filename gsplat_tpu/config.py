@@ -104,13 +104,12 @@ class RasterizerConfig:
     # already zeroes everything dropped — so images are unchanged while the
     # pair count (the dominant cost driver) shrinks.
     row_cull: bool = True
-    # Static capacity of the intermediate (gaussian, tile-row) list the
-    # culled expansion goes through; adapted by the host like
-    # pairs_per_gaussian but INDEPENDENTLY — culling shrinks the observed
-    # pair count but not the row count, so tying row capacity to M_cap
-    # (the -1 legacy: M_cap//2) lets a pair-capacity shrink strangle the
-    # rows and oscillate grow/shrink every adaptation window.
-    rows_per_gaussian: float = 7.0    # row_cap = ceil(cap * this); -1 = auto
+    # Static slots per gaussian for the culled expansion: row_slots-1
+    # exact single tile rows + 1 tail block covering any remaining rows
+    # (jointly culled). Purely a tightness/dense-work trade — tall splats
+    # beyond the single-row slots still render correctly via the tail;
+    # there is no slot overflow.
+    row_slots: int = 4
     # Static budget for the chunk-alignment padding of the entry list
     # (ops/binning.py align path). -1 = the safe worst case align*n_tiles;
     # hosts that probe a frame first (bench.py) right-size it from the

@@ -58,8 +58,6 @@ class Binning(NamedTuple):
     overflow: jnp.ndarray      # () int32 dropped entries (0 if m_cap sufficed)
     num_padded: jnp.ndarray = None  # () int32 chunk-padded layout extent
     #   (align>1 only) — the host right-sizes pad_cap from this
-    num_rows: jnp.ndarray = None    # () int32 (gaussian, tile-row) pairs
-    #   (per-row culling only) — the host right-sizes row_cap from this
     # align>1 extras for the efficient gather-VJP (ops/rasterize.py):
     inv_src: Optional[jnp.ndarray] = None     # (M_cap,) presort → aligned idx
     g_offsets: Optional[jnp.ndarray] = None   # (N,) presort start per gaussian
@@ -100,33 +98,24 @@ def _expand(values: jnp.ndarray, offsets: jnp.ndarray, m: int) -> jnp.ndarray:
     return jnp.cumsum(buf)
 
 
-def _expand_f32(values: jnp.ndarray, offsets: jnp.ndarray,
-                m: int) -> jnp.ndarray:
-    """_expand for f32 payloads: the bit pattern rides the int32 diff-
-    scatter + cumsum (telescoping sums are exact under int32 wraparound,
-    so the reconstructed bits — hence the floats — are exact)."""
-    bits = jax.lax.bitcast_convert_type(values, jnp.int32)
-    return jax.lax.bitcast_convert_type(_expand(bits, offsets, m),
-                                        jnp.float32)
-
-
-def _row_x_interval(mu_x, mu_y, ca, cb, cc, t, y_top, tile_h: int):
+def _slot_x_interval(mu_x, mu_y, ca, cb, cc, t, y_top, n_px):
     """Exact x-interval [u_lo, u_hi] (relative to mu_x, in pixels) where the
-    level-set ellipse {d : dᵀ·conic·d ≤ t} meets the tile row whose pixel
-    centers span y ∈ [y_top, y_top + tile_h - 1].
+    level-set ellipse {d : dᵀ·conic·d ≤ t} meets the pixel-row span
+    y ∈ [y_top, y_top + n_px - 1] (one tile row, or a whole tail block).
 
     q(u,v) = ca·u² + 2cb·uv + cc·v² is convex (conic of a PD covariance), so
     {u : min_{v∈[v0,v1]} q ≤ t} is an interval. Its right end is either the
     ellipse's global x-extreme u_g = sqrt(t·cc/Δ) (Δ = ca·cc − cb², attained
-    at v = −cb·u_g/cc) when that v lies in the row, or the larger root of
+    at v = −cb·u_g/cc) when that v lies in the span, or the larger root of
     q(u, v_edge) = t over the two edges; mirrored for the left end. Using
-    the row's CONTINUOUS v-range (⊇ the integer pixel centers) and a ±0.5px
+    the span's CONTINUOUS v-range (⊇ the integer pixel centers) and a ±0.5px
     inflation keeps the interval conservative: every culled (entry, pixel)
     is provably alpha < alpha_min, already zeroed by the compositor.
 
-    Returns (u_lo, u_hi, nonempty)."""
+    Returns (u_lo, u_hi, nonempty). Callers must mask out n_px ≤ 0 slots
+    themselves (the inverted v-range yields garbage there)."""
     v0 = y_top.astype(jnp.float32) - mu_y
-    v1 = v0 + jnp.float32(tile_h - 1)
+    v1 = v0 + (n_px.astype(jnp.float32) - 1.0)
     det2 = jnp.maximum(ca * cc - cb * cb, 1e-12)
     safe_ca = jnp.maximum(ca, 1e-12)
     safe_cc = jnp.maximum(cc, 1e-12)
@@ -159,7 +148,7 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                   pad_cap: int | None = None,
                   conic: jnp.ndarray | None = None,
                   t_cut: jnp.ndarray | None = None,
-                  row_cap: int | None = None) -> Binning:
+                  row_slots: int = 4) -> Binning:
     """Build the sorted (tile ‖ depth)-ordered entry list.
 
     All inputs should be stop-gradiented by the caller — ordering is not
@@ -181,17 +170,14 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     gaussian's depth rank (see module docstring); the returned ``perm``
     defines the gaussian order every per-gaussian output refers to.
 
-    With ``conic`` (N,3) + ``t_cut`` (N,) the expansion goes PER TILE ROW
-    (gaussians → rows → entries, requires sort_gaussians): each row gets
-    the level-set ellipse's exact x-interval (``_row_x_interval``) instead
-    of the full rx rect width, so entries the compositor would zero anyway
-    (rect corners outside the ellipse — ~π/4 of an axis-aligned rect,
-    far less for diagonal anisotropic splats) never enter the pair list at
-    all. Conservative by construction: the rendered image is unchanged
-    while every M-sized pass (sort, gathers, kernel chunks) shrinks with
-    the pair count. ``row_cap`` (default m_cap//2) bounds the static row
-    extent; outgrowing it reports ``overflow`` like a pair overflow, and
-    ``num_rows`` lets hosts right-size it.
+    With ``conic`` (N,3) + ``t_cut`` (N,) rect expansion is replaced by
+    per-tile-row ellipse culling (requires sort_gaussians): each gaussian
+    becomes ``row_slots`` static sub-rects — single tile rows carrying the
+    level-set ellipse's exact x-interval, plus one tail block for any
+    remaining rows (see the expansion-units comment below). Conservative
+    by construction: a strict subset of the rect pairs, every drop
+    provably below the compositor's alpha floor, so the rendered image is
+    unchanged while every M-sized pass shrinks with the pair count.
     """
     n = mean2d.shape[0]
     n_tiles_x = -(-image_width // tile_w)
@@ -223,133 +209,107 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     rect_h = jnp.maximum(y1 - y0, 0)
     valid_g = (radius > 0) & (rx > 0) & (ry > 0)
     e_idx = jnp.arange(m_cap, dtype=jnp.int32)
-    num_rows = None
 
+    # ---- expansion UNITS: one rect per unit, decoded 2D (k//w, k%w) ----
+    # Plain binning: unit == gaussian, rect == the rx×ry bounding rect.
+    # Row culling: unit == slot, R static slots per gaussian — slots
+    # 0..R-2 are single tile rows carrying the level-set ellipse's exact
+    # x-interval for that row (``_slot_x_interval``), slot R-1 is the
+    # TAIL BLOCK covering all remaining rows at the interval of their
+    # union's span (still culled, just jointly). Everything downstream
+    # (counts → offsets → the 3 shared M-sized expansions → histogram →
+    # sort) is identical; only the unit arrays differ. Dense (N,R) slot
+    # math costs no scatter/cumsum passes and cannot overflow (unlike a
+    # dynamically-sized gaussian→row expansion), and pairs the compositor
+    # would zero anyway (rect corners outside the ellipse — ~π/4 of an
+    # axis-aligned rect, far less for diagonal anisotropic splats) never
+    # enter the entry list, shrinking every M-sized pass.
     if conic is not None:
-        # ---- per-row culled expansion: gaussians → rows → entries ----
         assert sort_gaussians, "per-row culling requires sort_gaussians"
-        if row_cap is None:
-            row_cap = m_cap // 2
-        row_counts = jnp.where(valid_g, rect_h, 0).astype(jnp.int32)
-        row_offsets = (jnp.cumsum(row_counts) - row_counts).astype(jnp.int32)
-        num_rows = row_offsets[-1] + row_counts[-1]
-        row_over = jnp.maximum(num_rows - row_cap, 0)
-
-        r_idx = jnp.arange(row_cap, dtype=jnp.int32)
-        gidx_r = _expand(jnp.arange(n, dtype=jnp.int32), row_offsets,
-                         row_cap)
-        off_r = _expand(row_offsets, row_offsets, row_cap)
-        ty_r = _expand(y0, row_offsets, row_cap) + (r_idx - off_r)
-        r_valid = r_idx < num_rows
-        mu_x = _expand_f32(mean2d[:, 0], row_offsets, row_cap)
-        mu_y = _expand_f32(mean2d[:, 1], row_offsets, row_cap)
-        ca_r = _expand_f32(conic[:, 0], row_offsets, row_cap)
-        cb_r = _expand_f32(conic[:, 1], row_offsets, row_cap)
-        cc_r = _expand_f32(conic[:, 2], row_offsets, row_cap)
-        t_r = _expand_f32(t_cut, row_offsets, row_cap)
-        u_lo, u_hi, nonempty = _row_x_interval(
-            mu_x, mu_y, ca_r, cb_r, cc_r, t_r, ty_r * tile_h, tile_h)
+        R = row_slots
+        rvec = jnp.arange(R, dtype=jnp.int32)[None, :]       # (1,R)
+        h_u = jnp.where(rvec < R - 1,
+                        (rvec < rect_h[:, None]).astype(jnp.int32),
+                        jnp.maximum(rect_h[:, None] - (R - 1), 0))
+        ty0_u = y0[:, None] + rvec
+        u_lo, u_hi, nonempty = _slot_x_interval(
+            mean2d[:, 0:1], mean2d[:, 1:2], conic[:, 0:1], conic[:, 1:2],
+            conic[:, 2:3], t_cut[:, None], ty0_u * tile_h, h_u * tile_h)
+        # pre-cast clip (the empty-slot ±3e38 would wrap int32), then
         # clamp to the rect's own x tile range: the ±0.5px inflation can
         # otherwise spill one tile past it, ADDING pairs rect binning
-        # never had (subset property is what makes culling exact-by-
-        # construction). x0,x1 pack into one row expansion.
-        x01_r = _expand(x0 * (n_tiles_x + 1) + x1, row_offsets, row_cap)
-        x0_r = x01_r // (n_tiles_x + 1)
-        x1_r = x01_r - x0_r * (n_tiles_x + 1)
-        f0 = jnp.clip(jnp.floor((mu_x + u_lo) / tile_w),
-                      0.0, jnp.float32(n_tiles_x))     # pre-cast clip: the
-        f1 = jnp.clip(jnp.floor((mu_x + u_hi) / tile_w),  # empty-row ±3e38
-                      -1.0, jnp.float32(n_tiles_x))    # would wrap int32
-        tx0 = jnp.maximum(f0.astype(jnp.int32), x0_r)
-        tx1 = jnp.minimum(f1.astype(jnp.int32) + 1, x1_r)
-        w_r = jnp.where(r_valid & nonempty & (ty_r < n_tiles_y),
-                        jnp.maximum(tx1 - tx0, 0), 0)
-
-        w_cum = jnp.cumsum(w_r).astype(jnp.int32)
-        offs_e = w_cum - w_r                           # (row_cap,) excl.
-        total = w_cum[-1]
-        overflow = jnp.maximum(total - m_cap, 0) + row_over
-
-        # per-gaussian entry counts/offsets (the gather-VJP tables):
-        # rows of gaussian g are contiguous → segment-diff of w_cum.
-        # N-sized gathers are fine (it's the M-sized ones that cost).
-        last_row = jnp.clip(row_offsets + row_counts - 1, 0, row_cap - 1)
-        seg_end = jnp.where(row_counts > 0, w_cum[last_row], 0)
-        seg_beg = jnp.where(row_counts > 0, offs_e[
-            jnp.clip(row_offsets, 0, row_cap - 1)], 0)
-        counts = (seg_end - seg_beg).astype(jnp.int32)
-        offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-
-        # rows → entries expansion (single-row ranks: no width packing)
-        gidx = _expand(gidx_r, offs_e, m_cap)
-        off_e = _expand(offs_e, offs_e, m_cap)
-        base_r = ty_r * n_tiles_x + tx0
-        base_e = _expand(base_r, offs_e, m_cap)
-        valid = e_idx < total
-        tile = base_e + (e_idx - off_e)
-        tile = jnp.where(valid, tile, n_tiles)
-        gidx = jnp.where(valid, gidx, n)
-
-        # --- per-tile histogram: 2-corner row scatter + x cumsum ---
-        flat = jnp.zeros((n_tiles_y * (n_tiles_x + 1),), jnp.int32)
-        rbase = jnp.where(w_r > 0, ty_r, n_tiles_y - 1) * (n_tiles_x + 1)
-        inc = (w_r > 0).astype(jnp.int32)
-        flat = flat.at[rbase + tx0].add(inc, mode="drop")
-        flat = flat.at[rbase + tx1].add(-inc, mode="drop")
-        tile_count = jnp.cumsum(
-            flat.reshape(n_tiles_y, n_tiles_x + 1), axis=1)[
-            :, :n_tiles_x].reshape(-1)
-        tile_count = jnp.minimum(tile_count, m_cap)
-        tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
+        # never had (the subset property is what makes culling exact).
+        f0 = jnp.clip(jnp.floor((mean2d[:, 0:1] + u_lo) / tile_w),
+                      0.0, jnp.float32(n_tiles_x))
+        f1 = jnp.clip(jnp.floor((mean2d[:, 0:1] + u_hi) / tile_w),
+                      -1.0, jnp.float32(n_tiles_x))
+        tx0_u = jnp.maximum(f0.astype(jnp.int32), x0[:, None])
+        tx1_u = jnp.minimum(f1.astype(jnp.int32) + 1, x1[:, None])
+        w_u = jnp.where(valid_g[:, None] & nonempty & (h_u > 0),
+                        jnp.maximum(tx1_u - tx0_u, 0), 0)
+        h_u = jnp.where(w_u > 0, h_u, 0)
+        counts = (w_u * h_u).sum(axis=1).astype(jnp.int32)   # per-gaussian
+        gv = jnp.repeat(jnp.arange(n, dtype=jnp.int32), R)
+        u_y0, u_x0 = ty0_u.reshape(-1), tx0_u.reshape(-1)
+        u_w, u_h = w_u.reshape(-1), h_u.reshape(-1)
     else:
-        counts = jnp.where(valid_g, rect_w * rect_h, 0).astype(jnp.int32)
+        gv = jnp.arange(n, dtype=jnp.int32)
+        u_y0, u_x0 = y0, x0
+        u_w = jnp.where(valid_g, rect_w, 0)
+        u_h = jnp.where(valid_g, rect_h, 0)
+        counts = (u_w * u_h).astype(jnp.int32)
 
-        offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)  # excl.
-        total = offsets[-1] + counts[-1]
-        overflow = jnp.maximum(total - m_cap, 0)
+    ucounts = (u_w * u_h).astype(jnp.int32)
+    uoffsets = (jnp.cumsum(ucounts) - ucounts).astype(jnp.int32)  # excl.
+    total = uoffsets[-1] + ucounts[-1]
+    overflow = jnp.maximum(total - m_cap, 0)
+    # per-gaussian entry offsets (gather-VJP tables): a gaussian's slots
+    # are contiguous in unit order, so its range starts at its first slot
+    offsets = uoffsets if conic is None \
+        else uoffsets.reshape(n, row_slots)[:, 0]
 
-        # --- expansion (gather-free; see module docstring) ---
-        gidx = _expand(jnp.arange(n, dtype=jnp.int32), offsets, m_cap)
-        off_e = _expand(offsets, offsets, m_cap)
-        # rect base (corner tile id) and width share one cumsum —
-        # wraparound-exact packing saves an M-sized pass. The width field
-        # must hold rect_w ∈ [1, n_tiles_x]: size it from the grid (a
-        # hardcoded 2^7 would silently corrupt tile ids for n_tiles_x ≥
-        # 128, e.g. 16px tiles at ≥2K wide). Packing fits int32 comfortably
-        # up to ~8K renders; beyond that fall back to a second unpacked
-        # expansion pass.
-        wmult = 1 << int(n_tiles_x).bit_length()       # wmult > n_tiles_x
-        if (n_tiles - 1) * wmult + n_tiles_x < 2 ** 31:
-            bw = (y0 * n_tiles_x + x0) * wmult + jnp.maximum(rect_w, 1)
-            bw_e = _expand(bw, offsets, m_cap)
-            base_e = bw_e // wmult
-            w_e = bw_e - base_e * wmult
-        else:
-            base_e = _expand(y0 * n_tiles_x + x0, offsets, m_cap)
-            w_e = _expand(jnp.maximum(rect_w, 1), offsets, m_cap)
+    # --- expansion (gather-free; see module docstring) ---
+    gidx = _expand(gv, uoffsets, m_cap)
+    off_e = _expand(uoffsets, uoffsets, m_cap)
+    # rect base (corner tile id) and width share one cumsum — wraparound-
+    # exact packing saves an M-sized pass. The width field must hold
+    # u_w ∈ [1, n_tiles_x]: size it from the grid (a hardcoded 2^7 would
+    # silently corrupt tile ids for n_tiles_x ≥ 128, e.g. 16px tiles at
+    # ≥2K wide). Packing fits int32 comfortably up to ~8K renders; beyond
+    # that fall back to a second unpacked expansion pass.
+    wmult = 1 << int(n_tiles_x).bit_length()           # wmult > n_tiles_x
+    if (n_tiles - 1) * wmult + n_tiles_x < 2 ** 31:
+        bw = (u_y0 * n_tiles_x + u_x0) * wmult + jnp.maximum(u_w, 1)
+        bw_e = _expand(bw, uoffsets, m_cap)
+        base_e = bw_e // wmult
+        w_e = bw_e - base_e * wmult
+    else:
+        base_e = _expand(u_y0 * n_tiles_x + u_x0, uoffsets, m_cap)
+        w_e = _expand(jnp.maximum(u_w, 1), uoffsets, m_cap)
 
-        valid = e_idx < total
-        k = e_idx - off_e                              # rank inside rect
-        tile = base_e + (k // w_e) * n_tiles_x + k % w_e
-        tile = jnp.where(valid, tile, n_tiles)
-        gidx = jnp.where(valid, gidx, n)               # sentinel gaussian
+    valid = e_idx < total
+    k = e_idx - off_e                                  # rank inside rect
+    tile = base_e + (k // w_e) * n_tiles_x + k % w_e
+    tile = jnp.where(valid, tile, n_tiles)
+    gidx = jnp.where(valid, gidx, n)                   # sentinel gaussian
 
-        # --- per-tile histogram: 4-corner summed-area scatter (N-sized) ---
-        # (A K-sharded collision-reducing variant measured no change in the
-        # full program — the isolated ~8 ms stage cost overlaps away under
-        # XLA's scheduling; kept simple.)
-        one = (counts > 0).astype(jnp.int32)
-        grid = jnp.zeros((n_tiles_y + 1, n_tiles_x + 1), jnp.int32)
-        grid = grid.at[y0, x0].add(one, mode="drop")
-        grid = grid.at[y0, x1].add(-one, mode="drop")
-        grid = grid.at[y1, x0].add(-one, mode="drop")
-        grid = grid.at[y1, x1].add(one, mode="drop")
-        tile_count = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
-            :n_tiles_y, :n_tiles_x].reshape(-1)
-        # With overflow, truncation invalidates the histogram; clamp so
-        # ranges stay memory-safe (overflow frames are garbage by contract).
-        tile_count = jnp.minimum(tile_count, m_cap)
-        tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
+    # --- per-tile histogram: 4-corner summed-area scatter (unit-sized) ---
+    # (A K-sharded collision-reducing variant measured no change in the
+    # full program — the isolated ~8 ms stage cost overlaps away under
+    # XLA's scheduling; kept simple.)
+    one = (ucounts > 0).astype(jnp.int32)
+    u_y1, u_x1 = u_y0 + u_h, u_x0 + u_w
+    grid = jnp.zeros((n_tiles_y + 1, n_tiles_x + 1), jnp.int32)
+    grid = grid.at[u_y0, u_x0].add(one, mode="drop")
+    grid = grid.at[u_y0, u_x1].add(-one, mode="drop")
+    grid = grid.at[u_y1, u_x0].add(-one, mode="drop")
+    grid = grid.at[u_y1, u_x1].add(one, mode="drop")
+    tile_count = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
+        :n_tiles_y, :n_tiles_x].reshape(-1)
+    # With overflow, truncation invalidates the histogram; clamp so
+    # ranges stay memory-safe (overflow frames are garbage by contract).
+    tile_count = jnp.minimum(tile_count, m_cap)
+    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
     # --- the entry sort ---
     # (An alignment-free compositor — per-visit tables instead of padded
@@ -411,13 +371,13 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
         return Binning(gidx_sorted=gidx_aligned, tile_sorted=None,
                        tile_start=padded_start, tile_count=tile_count,
                        num_pairs=total, overflow=overflow,
-                       num_padded=num_padded, num_rows=num_rows,
+                       num_padded=num_padded,
                        inv_src=inv_src, g_offsets=offsets,
                        g_counts=counts, perm=perm)
 
     return Binning(gidx_sorted=gidx_s, tile_sorted=tile_s,
                    tile_start=tile_start, tile_count=tile_count,
-                   num_pairs=total, overflow=overflow, num_rows=num_rows,
+                   num_pairs=total, overflow=overflow,
                    perm=perm)
 
 

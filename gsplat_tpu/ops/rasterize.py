@@ -21,7 +21,6 @@ gradients that feed densification thresholds.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -43,8 +42,6 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray     # () int32 — dropped pairs (should be 0)
     num_padded: jnp.ndarray = None  # () int32 — padded layout extent
     #   (for host pad_cap right-sizing; see RasterizerConfig.pad_cap)
-    num_rows: jnp.ndarray = None    # () int32 — (gaussian, tile-row) pairs
-    #   (row_cull only; for host rows_per_gaussian right-sizing)
 
 
 def pack_rows(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
@@ -229,8 +226,7 @@ def render(gaussians: GaussianParams,
     if cfg.row_cull:
         cull_kw = dict(conic=jax.lax.stop_gradient(pre.conic),
                        t_cut=jax.lax.stop_gradient(pre.t_cut),
-                       row_cap=None if cfg.rows_per_gaussian < 0
-                       else int(math.ceil(cap * cfg.rows_per_gaussian)))
+                       row_slots=cfg.row_slots)
     b = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(pre.mean2d), jax.lax.stop_gradient(pre.depth),
         jax.lax.stop_gradient(pre.radius),
@@ -272,4 +268,4 @@ def render(gaussians: GaussianParams,
 
     return RenderOutput(image=image, invdepth=invdepth, radii=pre.radius,
                         num_pairs=b.num_pairs, overflow=b.overflow,
-                        num_padded=b.num_padded, num_rows=b.num_rows)
+                        num_padded=b.num_padded)

@@ -78,9 +78,7 @@ def make_dp_train_step(mesh: Mesh, *, image_width: int, image_height: int,
             loss=loss, l1=l1, depth_l1=dl1,
             num_pairs=jax.lax.pmax(out.num_pairs, axis),
             overflow=jax.lax.pmax(out.overflow, axis),
-            radii=radii_max,
-            num_rows=None if out.num_rows is None
-            else jax.lax.pmax(out.num_rows, axis))
+            radii=radii_max)
         return new_state, aux
 
     sharded = jax.shard_map(

@@ -203,7 +203,8 @@ def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
         axis=-1)
     cull_kw = {}
     if cfg.row_cull:
-        cull_kw = dict(conic=geom[:, 6:9], t_cut=geom[:, 9])
+        cull_kw = dict(conic=geom[:, 6:9], t_cut=geom[:, 9],
+                       row_slots=cfg.row_slots)
     b = binning_lib.bin_gaussians(
         mean2d_w, geom[:, 2], geom[:, 3], rx=geom[:, 4], ry=geom[:, 5],
         image_width=W, image_height=rows_loc * th, tile_h=th, tile_w=tw,

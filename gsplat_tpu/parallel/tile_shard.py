@@ -77,7 +77,8 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
         cull_kw = {}
         if cfg.row_cull:
             cull_kw = dict(conic=jax.lax.stop_gradient(pre.conic),
-                           t_cut=jax.lax.stop_gradient(pre.t_cut))
+                           t_cut=jax.lax.stop_gradient(pre.t_cut),
+                           row_slots=cfg.row_slots)
         b = binning_lib.bin_gaussians(
             jax.lax.stop_gradient(mean2d_w),
             jax.lax.stop_gradient(pre.depth),

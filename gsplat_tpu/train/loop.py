@@ -158,7 +158,6 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
     ema_loss = 0.0
     ema_depth = 0.0
     pair_ema = None
-    row_ema = None
     ppg_floor = 4.0    # raised after overflow-grows (shrink hysteresis)
     key = jax.random.PRNGKey(0)
     timer = Timer()
@@ -258,35 +257,16 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         # densify event never acts on the corrupted stats.
         if int(aux.overflow) > 0:
             n_act = max(int(np.asarray(state.gaussians.num_active())), 1)
-            cap_now = int(state.gaussians.capacity)
-            # the merged overflow scalar covers pair, row and pad caps —
-            # the true (uncapped) num_pairs/num_rows tell which one blew,
-            # so only the guilty capacity grows (rows don't shrink with
-            # culling, so growing pairs for a row overflow would oscillate
-            # against the pair-shrink below)
-            grew = []
-            row_over = (rcfg.row_cull and aux.num_rows is not None
-                        and float(aux.num_rows)
-                        > cap_now * rcfg.rows_per_gaussian)
-            if row_over:
-                new_rpg = max(rcfg.rows_per_gaussian * 2,
-                              int(aux.num_rows) / n_act * 1.5)
-                rcfg = dataclasses.replace(rcfg, rows_per_gaussian=new_rpg)
-                grew.append(f"rows_per_gaussian → {new_rpg:.1f}")
-            if (not row_over or float(aux.num_pairs)
-                    > cap_now * rcfg.pairs_per_gaussian):
-                pairs_pg = int(aux.num_pairs) / n_act
-                rcfg = dataclasses.replace(
-                    rcfg, pairs_per_gaussian=max(
-                        rcfg.pairs_per_gaussian * 2, pairs_pg * 1.5))
-                # hysteresis: paths that can't attribute the overflow
-                # (sharded aux has no num_rows; row_cap rides m_cap//2
-                # there) must not shrink back into the same overflow
-                ppg_floor = max(ppg_floor, rcfg.pairs_per_gaussian * 0.55)
-                grew.append(
-                    f"pairs_per_gaussian → {rcfg.pairs_per_gaussian:.1f}")
-            print(f"[iter {iteration}] capacity overflow "
-                  f"{int(aux.overflow)} — {'; '.join(grew)}; "
+            pairs_pg = int(aux.num_pairs) / n_act
+            rcfg = dataclasses.replace(
+                rcfg, pairs_per_gaussian=max(rcfg.pairs_per_gaussian * 2,
+                                             pairs_pg * 1.5))
+            # hysteresis: the merged overflow scalar also covers the
+            # chunk-padding budget, whose need doesn't track the pair
+            # count — never shrink back into the same overflow
+            ppg_floor = max(ppg_floor, rcfg.pairs_per_gaussian * 0.55)
+            print(f"[iter {iteration}] pair overflow {int(aux.overflow)} — "
+                  f"pairs_per_gaussian → {rcfg.pairs_per_gaussian:.1f}; "
                   f"retrying frame from pre-step state")
             dp_steps.clear()   # step fns bake rcfg into their closures
             state, aux = run_step(prev_state)
@@ -361,10 +341,6 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         pairs_pg = int(aux.num_pairs) / n_act
         pair_ema = pairs_pg if pair_ema is None else \
             0.1 * pairs_pg + 0.9 * pair_ema
-        if aux.num_rows is not None:
-            rows_pg = int(aux.num_rows) / n_act
-            row_ema = rows_pg if row_ema is None else \
-                0.1 * rows_pg + 0.9 * row_ema
         if (iteration % 500 == 0
               and rcfg.pairs_per_gaussian > ppg_floor
               and rcfg.pairs_per_gaussian > 2.5 * pair_ema):
@@ -372,14 +348,6 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
             print(f"[iter {iteration}] shrinking pairs_per_gaussian "
                   f"{rcfg.pairs_per_gaussian:.1f} → {new_ppg:.1f}")
             rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=new_ppg)
-            dp_steps.clear()   # step fns bake rcfg into their closures
-        if (iteration % 500 == 0 and row_ema is not None
-              and rcfg.rows_per_gaussian > 2.0
-              and rcfg.rows_per_gaussian > 2.5 * row_ema):
-            new_rpg = max(row_ema * 1.5, 2.0)
-            print(f"[iter {iteration}] shrinking rows_per_gaussian "
-                  f"{rcfg.rows_per_gaussian:.1f} → {new_rpg:.1f}")
-            rcfg = dataclasses.replace(rcfg, rows_per_gaussian=new_rpg)
             dp_steps.clear()   # step fns bake rcfg into their closures
 
         if not quiet and iteration % 10 == 0:

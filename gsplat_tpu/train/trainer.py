@@ -54,8 +54,6 @@ class StepAux(NamedTuple):
     radii: jnp.ndarray
     num_padded: jnp.ndarray = None   # padded entry-layout extent (pad_cap
     #   right-sizing; None on paths that don't surface it)
-    num_rows: jnp.ndarray = None     # (gaussian, tile-row) pair count
-    #   (rows_per_gaussian right-sizing; row_cull paths only)
 
 
 def init_state(gaussians: gm.GaussianParams, n_images: int) -> TrainState:
@@ -209,7 +207,7 @@ def train_step(state: TrainState,
                                   opt=opt, spatial_lr_scale=spatial_lr_scale)
     aux = StepAux(loss=loss, l1=l1, depth_l1=dl1, num_pairs=out.num_pairs,
                   overflow=out.overflow, radii=out.radii,
-                  num_padded=out.num_padded, num_rows=out.num_rows)
+                  num_padded=out.num_padded)
     return new_state, aux
 
 

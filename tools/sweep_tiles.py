@@ -72,10 +72,8 @@ def main():
     assert int(aux.overflow) == 0, f"overflow {int(aux.overflow)}"
     ppg = max(pairs * 1.3 / n, 2.0)
     pad_cap = max(chunk, int((int(aux.num_padded) - pairs) * 1.5))
-    rpg = rcfg.rows_per_gaussian if aux.num_rows is None \
-        else max(int(aux.num_rows) * 1.3 / n, 1.0)
     rcfg = dataclasses.replace(rcfg, pairs_per_gaussian=ppg,
-                               pad_cap=pad_cap, rows_per_gaussian=rpg)
+                               pad_cap=pad_cap)
     step = make_step(rcfg)
     state, aux = step(state0)
     jax.block_until_ready(state.gaussians.xyz)
