@@ -346,35 +346,46 @@ def test_row_cull_exact_and_tighter(rng):
               m_cap=48 * n, align=1, sort_gaussians=True)
     b0 = binning_lib.bin_gaussians(pre.mean2d, pre.depth, pre.radius,
                                    rx=pre.rx, ry=pre.ry, **kw)
+    ntx = W // TILE_W
+    T = ntx * (H // TILE_H)
+    ts0, tc0 = np.asarray(b0.tile_start), np.asarray(b0.tile_count)
+    perm_ext0 = np.append(np.asarray(b0.perm), n)      # sentinel gidx = n
+    gs0 = perm_ext0[np.asarray(b0.gidx_sorted)]
+    conic = np.asarray(pre.conic)
+    mean2d = np.asarray(pre.mean2d)
+    t_cut = np.asarray(pre.t_cut)
+
+    def check_subset_and_exact(b1):
+        ts1, tc1 = np.asarray(b1.tile_start), np.asarray(b1.tile_count)
+        perm_ext1 = np.append(np.asarray(b1.perm), n)
+        gs1 = perm_ext1[np.asarray(b1.gidx_sorted)]
+        for t in range(T):
+            s0 = set(gs0[ts0[t]:ts0[t] + tc0[t]])
+            s1 = set(gs1[ts1[t]:ts1[t] + tc1[t]])
+            assert s1 <= s0, f"tile {t}: culling ADDED pairs {s1 - s0}"
+            ox, oy = (t % ntx) * TILE_W, (t // ntx) * TILE_H
+            xs, ys = np.meshgrid(np.arange(ox, ox + TILE_W),
+                                 np.arange(oy, oy + TILE_H))
+            for gg in s0 - s1:
+                dx = xs - mean2d[gg, 0]
+                dy = ys - mean2d[gg, 1]
+                ca, cb, cc = conic[gg]
+                q = ca * dx * dx + 2 * cb * dx * dy + cc * dy * dy
+                assert q.min() > t_cut[gg], \
+                    f"tile {t} wrongly dropped visible gaussian {gg}"
+
     b1 = binning_lib.bin_gaussians(pre.mean2d, pre.depth, pre.radius,
                                    rx=pre.rx, ry=pre.ry, conic=pre.conic,
                                    t_cut=pre.t_cut, **kw)
     assert int(b1.num_pairs) < int(b0.num_pairs)
-    ntx = W // TILE_W
-    T = ntx * (H // TILE_H)
-    ts0, tc0 = np.asarray(b0.tile_start), np.asarray(b0.tile_count)
-    ts1, tc1 = np.asarray(b1.tile_start), np.asarray(b1.tile_count)
-    perm_ext0 = np.append(np.asarray(b0.perm), n)      # sentinel gidx = n
-    perm_ext1 = np.append(np.asarray(b1.perm), n)
-    gs0 = perm_ext0[np.asarray(b0.gidx_sorted)]
-    gs1 = perm_ext1[np.asarray(b1.gidx_sorted)]
-    conic = np.asarray(pre.conic)
-    mean2d = np.asarray(pre.mean2d)
-    t_cut = np.asarray(pre.t_cut)
-    for t in range(T):
-        s0 = set(gs0[ts0[t]:ts0[t] + tc0[t]])
-        s1 = set(gs1[ts1[t]:ts1[t] + tc1[t]])
-        assert s1 <= s0, f"tile {t}: culled binning ADDED pairs {s1 - s0}"
-        ox, oy = (t % ntx) * TILE_W, (t // ntx) * TILE_H
-        xs, ys = np.meshgrid(np.arange(ox, ox + TILE_W),
-                             np.arange(oy, oy + TILE_H))
-        for gg in s0 - s1:
-            dx = xs - mean2d[gg, 0]
-            dy = ys - mean2d[gg, 1]
-            ca, cb, cc = conic[gg]
-            q = ca * dx * dx + 2 * cb * dx * dy + cc * dy * dy
-            assert q.min() > t_cut[gg], \
-                f"tile {t} wrongly dropped visible gaussian {gg}"
+    check_subset_and_exact(b1)
+    # row_slots=2 forces the TAIL-BLOCK path (one single row + a jointly-
+    # culled multi-row tail) for every splat taller than one tile row
+    b2 = binning_lib.bin_gaussians(pre.mean2d, pre.depth, pre.radius,
+                                   rx=pre.rx, ry=pre.ry, conic=pre.conic,
+                                   t_cut=pre.t_cut, row_slots=2, **kw)
+    assert int(b1.num_pairs) <= int(b2.num_pairs) <= int(b0.num_pairs)
+    check_subset_and_exact(b2)
 
     c0 = cfg(row_cull=False, pairs_per_gaussian=48.0)
     c1 = cfg(row_cull=True, pairs_per_gaussian=48.0)
