@@ -99,7 +99,8 @@ def main():
     # (train/loop.py grows on overflow and shrinks toward ~1.3-1.5x the
     # running pair count — every binning/sort/gather/reduction pass costs
     # proportionally to this STATIC capacity)
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0)
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0,
+                            row_cull="--no_row_cull" not in sys.argv)
     state = trainer.init_state(g, 1)
 
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
