@@ -80,6 +80,25 @@ def main():
             sort_gaussians=True).gidx_sorted
     timeit("full bin_gaussians", full, mean2d)
 
+    # row-culled variant at ITS OWN right-sized m_cap — the honest A/B:
+    # slot math costs dense (N,R) work, every M-sized pass shrinks
+    probe_c = binning_lib.bin_gaussians(
+        pre.mean2d, pre.depth, pre.radius, rx=pre.rx, ry=pre.ry,
+        conic=pre.conic, t_cut=pre.t_cut, image_width=W, image_height=H,
+        tile_h=th, tile_w=tw, m_cap=2_000_128, align=G, sort_gaussians=True)
+    m_cap_c = -(-int(int(probe_c.num_pairs) * 1.3) // G) * G
+    print(f"culled pairs={int(probe_c.num_pairs)} "
+          f"({int(probe_c.num_pairs) / max(int(probe.num_pairs), 1):.2f}x) "
+          f"m_cap={m_cap_c}", flush=True)
+
+    def full_cull(mean2d):
+        return binning_lib.bin_gaussians(
+            mean2d, depth, radius, rx=rx, ry=ry, conic=pre.conic,
+            t_cut=pre.t_cut, image_width=W, image_height=H, tile_h=th,
+            tile_w=tw, m_cap=m_cap_c, align=G,
+            sort_gaussians=True).gidx_sorted
+    timeit("full bin_gaussians (row-culled)", full_cull, mean2d)
+
     def gsort(depth):
         return jax.lax.sort((depth, jnp.arange(n, dtype=jnp.int32)),
                             num_keys=1)[1]
