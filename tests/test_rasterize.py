@@ -412,3 +412,77 @@ def test_row_cull_exact_and_tighter(rng):
     for k in ("xyz", "opacity", "scaling"):
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
                                    rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,row_slots", [(1, 2), (2, 3), (3, 4), (4, 6)])
+def test_row_cull_fuzz_subset_property(seed, row_slots):
+    """Randomized culling invariants on synthetic conics (no preprocess):
+    off-screen centers, extreme anisotropy, sub-threshold opacities,
+    non-tile-multiple images. For EVERY tile the culled entry set must be
+    a subset of the rect set, every dropped pair must satisfy
+    q(pixel) > t_cut on all the tile's pixels, and the per-tile ranges
+    must agree with the sorted entry stream itself."""
+    rng = np.random.default_rng(seed)
+    n = 160
+    W, H = 3 * TILE_W - 40, 5 * TILE_H - 3     # ragged right/bottom tiles
+    ntx, nty = -(-W // TILE_W), -(-H // TILE_H)
+    T = ntx * nty
+    # random PSD pixel-space covariances with wild anisotropy
+    A = rng.standard_normal((n, 2, 2)) * rng.uniform(0.5, 30, (n, 1, 1))
+    cov = A @ np.transpose(A, (0, 2, 1)) + 0.3 * np.eye(2)
+    conic = np.linalg.inv(cov).astype(np.float32)
+    conic = np.stack([conic[:, 0, 0], conic[:, 0, 1], conic[:, 1, 1]], -1)
+    op = rng.uniform(1e-3, 1.0, n).astype(np.float32)   # some < 1/255
+    t_cut = np.maximum(2.0 * np.log(op * 255.0), 0.0).astype(np.float32)
+    mean2d = np.stack([rng.uniform(-30, W + 30, n),
+                       rng.uniform(-30, H + 30, n)], -1).astype(np.float32)
+    # exact level-set AABB half-extents (preprocess's tight rx/ry)
+    rx = np.ceil(np.sqrt(t_cut * cov[:, 0, 0])).astype(np.float32)
+    ry = np.ceil(np.sqrt(t_cut * cov[:, 1, 1])).astype(np.float32)
+    radius = np.maximum(rx, ry).astype(np.float32)
+    depth = rng.uniform(0.5, 10.0, n).astype(np.float32)
+
+    kw = dict(image_width=W, image_height=H, tile_h=TILE_H, tile_w=TILE_W,
+              m_cap=64 * n, align=1, sort_gaussians=True)
+    b0 = binning_lib.bin_gaussians(jnp.asarray(mean2d), jnp.asarray(depth),
+                                   jnp.asarray(radius), rx=jnp.asarray(rx),
+                                   ry=jnp.asarray(ry), **kw)
+    b1 = binning_lib.bin_gaussians(jnp.asarray(mean2d), jnp.asarray(depth),
+                                   jnp.asarray(radius), rx=jnp.asarray(rx),
+                                   ry=jnp.asarray(ry),
+                                   conic=jnp.asarray(conic),
+                                   t_cut=jnp.asarray(t_cut),
+                                   row_slots=row_slots, **kw)
+    assert int(b0.overflow) == 0 and int(b1.overflow) == 0
+    assert int(b1.num_pairs) <= int(b0.num_pairs)
+
+    def tile_sets(b):
+        ts, tc = np.asarray(b.tile_start), np.asarray(b.tile_count)
+        perm_ext = np.append(np.asarray(b.perm), n)
+        gs = perm_ext[np.asarray(b.gidx_sorted)]
+        tiles = np.asarray(b.tile_sorted)
+        out = []
+        for t in range(T):
+            seg = gs[ts[t]:ts[t] + tc[t]]
+            # the histogram-derived range must contain exactly this tile's
+            # entries in the sorted stream
+            assert (tiles[ts[t]:ts[t] + tc[t]] == t).all()
+            out.append(set(seg.tolist()))
+        return out
+    sets0, sets1 = tile_sets(b0), tile_sets(b1)
+    n_drop = 0
+    for t in range(T):
+        assert sets1[t] <= sets0[t], f"tile {t} gained {sets1[t] - sets0[t]}"
+        ox, oy = (t % ntx) * TILE_W, (t // ntx) * TILE_H
+        xs, ys = np.meshgrid(np.arange(ox, min(ox + TILE_W, W)),
+                             np.arange(oy, min(oy + TILE_H, H)))
+        for gg in sets0[t] - sets1[t]:
+            dx = xs - mean2d[gg, 0]
+            dy = ys - mean2d[gg, 1]
+            ca, cb, cc = conic[gg]
+            q = ca * dx * dx + 2 * cb * dx * dy + cc * dy * dy
+            assert q.min() > t_cut[gg], \
+                f"tile {t} wrongly dropped visible gaussian {gg}"
+            n_drop += 1
+    # the fuzz must actually exercise drops to mean anything
+    assert n_drop > 0
