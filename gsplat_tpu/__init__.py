@@ -16,3 +16,14 @@ graphdeco-inria/gaussian-splatting (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("GSPLAT_PLATFORM"):
+    # Pin the JAX backend ("cpu"/"tpu") before anything initializes it.
+    # An env hook rather than a CLI flag because site customizations may
+    # register accelerator plugins that ignore JAX_PLATFORMS — only
+    # jax.config.update ahead of first backend touch reliably wins, and
+    # this package is imported before any CLI runs device code.
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["GSPLAT_PLATFORM"])

@@ -22,13 +22,23 @@ OUT="${2:-/tmp/soak}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 
+# SOAK_DEVICE=cpu pins every stage to CPU (smoke runs on hosts where the
+# TPU plugin would otherwise be picked up — or hang on a dead tunnel)
+if [ -n "${SOAK_DEVICE:-}" ]; then
+  export GSPLAT_PLATFORM="$SOAK_DEVICE"
+  GEN_DEV=(--device "$SOAK_DEVICE")
+else
+  GEN_DEV=()
+fi
+
 mkdir -p "$OUT"
 # scene size overridable for CPU smoke runs (SOAK_W=160 SOAK_H=120 ...)
 if [ ! -f "$OUT/scene/soak/sparse/0/cameras.bin" ]; then
   echo "=== generating synthetic COLMAP scene ==="
   python tools/make_synthetic_scene.py --out "$OUT/scene" --scene soak \
       --n_gaussians "${SOAK_N:-12000}" --n_cams "${SOAK_CAMS:-24}" \
-      --width "${SOAK_W:-512}" --height "${SOAK_H:-384}" --seed 7
+      --width "${SOAK_W:-512}" --height "${SOAK_H:-384}" --seed 7 \
+      "${GEN_DEV[@]}"
 fi
 
 echo "=== training $ITERS iters (full production loop) ==="
