@@ -99,8 +99,9 @@ def main():
     # (train/loop.py grows on overflow and shrinks toward ~1.3-1.5x the
     # running pair count — every binning/sort/gather/reduction pass costs
     # proportionally to this STATIC capacity)
+    no_cull = {"--no_row_cull", "--no-row_cull"} & set(sys.argv)
     rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0,
-                            row_cull="--no_row_cull" not in sys.argv)
+                            row_cull=not no_cull)
     state = trainer.init_state(g, 1)
 
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))

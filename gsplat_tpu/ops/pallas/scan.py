@@ -52,9 +52,17 @@ def _scan_kernel(x_ref, out_ref, tot_ref, *, F: int):
     r = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
     tri = (c < r).astype(jnp.float32)
-    fold_tot = jnp.dot(x, b1, preferred_element_type=jnp.float32)
-    cs = jnp.dot(tri, fold_tot, preferred_element_type=jnp.float32) \
-        + jnp.dot(x, b2, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: the default lowers the f32 GRADIENT operand to
+    # one-pass bf16 on the MXU (~2^-9 relative truncation per element) —
+    # exactly the repo's documented bf16 trap, and far worse than the
+    # blocked-cumsum error this kernel exists to bound. The 0/1 mixing
+    # matrices are bf16-exact; the data is not.
+    hi = jax.lax.Precision.HIGHEST
+    fold_tot = jnp.dot(x, b1, preferred_element_type=jnp.float32,
+                       precision=hi)
+    cs = jnp.dot(tri, fold_tot, preferred_element_type=jnp.float32,
+                 precision=hi) \
+        + jnp.dot(x, b2, preferred_element_type=jnp.float32, precision=hi)
     out_ref[:] = cs
     tot_ref[:] = cs[F - 1:F]                               # (1,128)
 

@@ -119,14 +119,23 @@ def _prefix_at(intra, block_pre, L, bnd):
 def _gather_entries_bwd(m_cap, res, d_aligned):
     inv_src, g_offsets, g_counts, n_rows = res
     width = d_aligned.shape[1]
+    total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
     d_presort = d_aligned[inv_src]                      # (m_cap, width)
+    # Rows past ``total`` come from sentinel inv_src slots pointing at
+    # d_aligned positions the backward kernel never wrote (the dead-chunk
+    # DMA skip leaves them as recycled HBM bits). The exact-add cumsum
+    # never surfaces them in any boundary difference, but the MXU scan
+    # kernel multiplies them by literal zeros — and 0·NaN/0·Inf poisons
+    # every prefix row of the block containing ``total``. Zero the tail.
+    d_presort = jnp.where(
+        (jnp.arange(m_cap, dtype=jnp.int32) < total)[:, None],
+        d_presort, 0.0)
     intra, block_pre, L = _blocked_prefix(d_presort, m_cap)
 
     # Per-gaussian sums as ONE boundary-gather pass: entries of gaussian g
     # occupy [offsets[g], offsets[g+1]) presort (offsets is the exclusive
     # cumsum of counts), so rows[g] = cs(offsets[g+1]) − cs(offsets[g])
     # with cs(j) = inclusive prefix of the first j entries.
-    total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
     bnd = jnp.clip(jnp.concatenate([g_offsets, total[None]]), 0, m_cap)
     cs_b = _prefix_at(intra, block_pre, L, bnd)         # (N+1, width)
     d_rows = cs_b[1:] - cs_b[:-1]                       # (N, width)
@@ -139,6 +148,17 @@ def _gather_entries_bwd(m_cap, res, d_aligned):
 _gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 
+def use_pallas_resolved(cfg: RasterizerConfig) -> bool:
+    """Normalize cfg.use_pallas: "auto" → Pallas on TPU; "on"/"off"
+    strings and plain bools both accepted. Every dispatch site must use
+    this — a truthy-string test would send "auto"/"off" down the Pallas
+    path unconditionally."""
+    up = cfg.use_pallas
+    if isinstance(up, str):
+        up = (jax.default_backend() == "tpu") if up == "auto" else (up == "on")
+    return up
+
+
 def composite_dispatch(entries, tile_start, tile_count,
                        cfg: RasterizerConfig, *, n_tiles_x: int,
                        n_tiles_y: int, tile_id_base=0, interpret=False,
@@ -148,10 +168,7 @@ def composite_dispatch(entries, tile_start, tile_count,
     cfg.use_pallas: "auto" picks Pallas on TPU; bools are accepted from
     library callers. ``t_init`` (T,P): transmittance arriving from nearer
     depth slabs, scaling the early-out test only (prim_shard exact cut)."""
-    up = cfg.use_pallas
-    if isinstance(up, str):
-        up = (jax.default_backend() == "tpu") if up == "auto" else (up == "on")
-    if up:
+    if use_pallas_resolved(cfg):
         from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
         return composite_tiles_pallas(
             entries, tile_start, tile_count,

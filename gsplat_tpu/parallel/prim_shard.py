@@ -139,7 +139,8 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
             # dedicated log-sum kernel (~the alpha evaluation alone — the
             # previous full cut-free composite per slab roughly doubled the
             # sharded forward; round-2 review finding).
-            if cfg.use_pallas:
+            from gsplat_tpu.ops.rasterize import use_pallas_resolved
+            if use_pallas_resolved(cfg):
                 from gsplat_tpu.ops.pallas.composite import \
                     slab_transmittance_pallas
                 t_slab = slab_transmittance_pallas(

@@ -39,8 +39,12 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
                         mesh: Mesh, axis: str = "tile", *,
                         antialiasing: bool = False,
                         m_cap: int | None = None, interpret: bool = False):
-    """Render with tiles sharded over mesh[axis]. Returns (3,H,W) image
-    (replicated via all-gather of tile-row slabs) + (1,H,W) invdepth."""
+    """Render with tiles sharded over mesh[axis]. Returns ((3,H,W) image
+    (replicated via all-gather of tile-row slabs), (1,H,W) invdepth,
+    num_pairs, overflow). A tile-imbalanced scene can overflow one chip's
+    m_cap/D window while the global pair count fits — callers must treat
+    overflow > 0 frames as garbage (grow m_cap and re-render), exactly
+    like the single-chip contract."""
     from gsplat_tpu.parallel.sharded import _psum_grad
 
     W, H = image_width, image_height
@@ -115,4 +119,4 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
 
     image = jnp.clip(slab[:3] + slab[4:5] * bg_color[:, None, None],
                      0.0, 1.0)
-    return image, slab[3:4]
+    return image, slab[3:4], num_pairs, overflow

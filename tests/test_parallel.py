@@ -36,8 +36,10 @@ def test_tile_sharded_render_matches_single(rng):
     g, cam = make_scene(rng, n=300)
     rcfg = cfg()
     mesh = make_mesh((("tile", N_DEV),))
-    img_s, invd_s = jax.jit(lambda g_, c_: tile_shard.render_tile_sharded(
-        g_, c_, W, H, jnp.full(3, 0.3), rcfg, mesh))(g, cam)
+    img_s, invd_s, _, ovf = jax.jit(
+        lambda g_, c_: tile_shard.render_tile_sharded(
+            g_, c_, W, H, jnp.full(3, 0.3), rcfg, mesh))(g, cam)
+    assert int(ovf) == 0
     out = render(g, cam, W, H, jnp.full(3, 0.3), rcfg)
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(out.image),
                                rtol=1e-5, atol=1e-6)
@@ -80,8 +82,11 @@ def test_tile_sharded_render_matches_single_pallas(rng):
     g, cam = make_scene(rng, n=300)
     rcfg = cfg(use_pallas=True)
     mesh = make_mesh((("tile", N_DEV),))
-    img_s, invd_s = jax.jit(lambda g_, c_: tile_shard.render_tile_sharded(
-        g_, c_, W, H, jnp.full(3, 0.3), rcfg, mesh, interpret=True))(g, cam)
+    img_s, invd_s, _, ovf = jax.jit(
+        lambda g_, c_: tile_shard.render_tile_sharded(
+            g_, c_, W, H, jnp.full(3, 0.3), rcfg, mesh,
+            interpret=True))(g, cam)
+    assert int(ovf) == 0
     out = render(g, cam, W, H, jnp.full(3, 0.3), cfg(), interpret=True)
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(out.image),
                                rtol=1e-5, atol=1e-6)

@@ -486,3 +486,35 @@ def test_row_cull_fuzz_subset_property(seed, row_slots):
             n_drop += 1
     # the fuzz must actually exercise drops to mean anything
     assert n_drop > 0
+
+
+def test_pad_cap_overflow_detected(rng):
+    """Review-confirmed repro: when m_cap has slack but the alignment
+    padding outgrows pad_cap, the clamped per-tile shifts silently
+    misplace entries — binning must report overflow > 0 (the host's
+    grow-retry contract), not a valid-looking frame."""
+    n = 200
+    g, cam = make_scene(rng, n=n)
+    W, H = 2 * TILE_W, 8 * TILE_H
+    pre = pre_lib.preprocess(
+        g.xyz, g.get_scaling(), g.get_rotation(), g.get_opacity(),
+        g.get_features(), g.active_sh_degree, cam, W, H,
+        active_mask=g.active)
+    kw = dict(image_width=W, image_height=H, tile_h=TILE_H, tile_w=TILE_W,
+              align=64, sort_gaussians=True)
+    args = (pre.mean2d, pre.depth, pre.radius)
+    # generous pad_cap: valid layout, overflow 0
+    b_ok = binning_lib.bin_gaussians(*args, rx=pre.rx, ry=pre.ry,
+                                     m_cap=64 * n, pad_cap=64 * 16 * 2,
+                                     **kw)
+    assert int(b_ok.overflow) == 0
+    pad_need = int(b_ok.num_padded) - int(b_ok.num_pairs)
+    assert pad_need > 128   # the scene must actually exercise padding
+    # huge m_cap (slack!), pad_cap far below the needed padding: the old
+    # num_padded > m_cap + pad_cap check never fired here
+    b_bad = binning_lib.bin_gaussians(*args, rx=pre.rx, ry=pre.ry,
+                                      m_cap=64 * n, pad_cap=64,
+                                      **kw)
+    assert int(b_bad.overflow) > 0, (
+        f"padding needs {pad_need} > pad_cap=64 yet overflow=0 — "
+        "clamped shifts are corrupting the aligned layout silently")
