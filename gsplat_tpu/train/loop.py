@@ -341,7 +341,12 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         pairs_pg = int(aux.num_pairs) / n_act
         pair_ema = pairs_pg if pair_ema is None else \
             0.1 * pairs_pg + 0.9 * pair_ema
-        if (iteration % 500 == 0
+        # iteration 1 also fires: the configured default can be ~10x the
+        # scene's real pair count, and every binning/sort/gather pass pays
+        # for the STATIC capacity — one extra re-jit at iter 2 beats 500
+        # oversized iterations (an under-shrink from the single-frame
+        # sample is self-correcting via the overflow grow + hysteresis)
+        if ((iteration == 1 or iteration % 500 == 0)
               and rcfg.pairs_per_gaussian > ppg_floor
               and rcfg.pairs_per_gaussian > 2.5 * pair_ema):
             new_ppg = max(pair_ema * 1.5, ppg_floor)
