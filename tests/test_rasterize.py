@@ -518,3 +518,50 @@ def test_pad_cap_overflow_detected(rng):
     assert int(b_bad.overflow) > 0, (
         f"padding needs {pad_need} > pad_cap=64 yet overflow=0 — "
         "clamped shifts are corrupting the aligned layout silently")
+
+
+def test_gather_vjp_masks_unwritten_tail(monkeypatch):
+    """_gather_entries_bwd zeroes presort rows past the real entry count
+    BEFORE the prefix scan. Those rows alias backward-kernel output blocks
+    the dead-chunk DMA skip never writes — recycled HBM bits on hardware.
+    The XLA cumsum never surfaces them, but the MXU scan kernel multiplies
+    them by literal zeros and 0·NaN poisons the whole block (invisible in
+    interpret mode, which zero-fills buffers) — so the contract is checked
+    here by spying on the scan's input with a NaN-poisoned tail."""
+    from gsplat_tpu.ops import rasterize as rz
+    rng = np.random.default_rng(3)
+    width, n = 16, 5
+    counts = np.array([3, 0, 7, 2, 1], np.int32)
+    offsets = (np.cumsum(counts) - counts).astype(np.int32)
+    total = int(counts.sum())                               # 13
+    m_cap = 64
+    m_out = 96
+    # presort slot i < total maps to a written aligned slot (identity is
+    # fine); the sentinel tail maps to NEVER-WRITTEN slots carrying NaN
+    inv_src = np.concatenate([np.arange(total),
+                              np.full(m_cap - total, m_out - 1)]
+                             ).astype(np.int32)
+    d_aligned = np.full((m_out, width), np.nan, np.float32)
+    d_aligned[:total] = rng.standard_normal((total, width)).astype(np.float32)
+
+    captured = {}
+    orig = rz._blocked_prefix
+
+    def spy(d, m):
+        captured["d"] = d
+        return orig(d, m)
+
+    monkeypatch.setattr(rz, "_blocked_prefix", spy)
+    d_packed, *_ = rz._gather_entries_bwd(
+        m_cap, (jnp.asarray(inv_src), jnp.asarray(offsets),
+                jnp.asarray(counts), n + 1), jnp.asarray(d_aligned))
+    seen = np.asarray(captured["d"])
+    assert np.isfinite(seen).all() and (seen[total:] == 0).all(), \
+        "rows past total must be zeroed before the MXU scan"
+    got = np.asarray(d_packed)
+    assert np.isfinite(got).all()
+    # per-gaussian sums must equal the written rows' segment sums
+    for g in range(n):
+        expect = d_aligned[offsets[g]:offsets[g] + counts[g]].sum(axis=0) \
+            if counts[g] else np.zeros(width, np.float32)
+        np.testing.assert_allclose(got[g], expect, rtol=1e-5, atol=1e-5)
