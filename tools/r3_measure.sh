@@ -36,6 +36,7 @@ run sweep_16x32x128 python -u tools/sweep_tiles.py 16 32 128
 run sweep_16x64x256 python -u tools/sweep_tiles.py 16 64 256
 run sweep_32x32x256 python -u tools/sweep_tiles.py 32 32 256
 run sweep_16x64x128 python -u tools/sweep_tiles.py 16 64 128
+run sweep_16x32x64  python -u tools/sweep_tiles.py 16 32 64
 
 # the long tail: 30k soak (own internal timeout ~expected 30-60 min on
 # chip), then the trained-PLY bench on its output
