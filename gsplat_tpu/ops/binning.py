@@ -345,17 +345,16 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
         padded_start = (ends - padded_count).astype(jnp.int32)
         m_out = m_cap + pad_cap
         num_padded = ends[-1]
-        # the aligned layout is valid only while no tile's shift clamps:
-        # the padding CONSUMED (num_padded − real entries) must fit
-        # pad_cap. Comparing num_padded against m_cap+pad_cap instead
-        # under-detects whenever m_cap has slack — the clamped shifts
-        # then silently misplace entries with overflow still 0
-        # (review-confirmed repro lives in test_rasterize.py).
-        pad_need = num_padded - jnp.minimum(total, m_cap)
-        overflow = jnp.maximum(overflow, pad_need - pad_cap)
+        # the aligned layout is valid only while no tile's shift clamps —
+        # exactly max(shift) ≤ pad_cap. The previous num_padded >
+        # m_cap+pad_cap check under-detected whenever m_cap had slack:
+        # clamped shifts then silently misplaced entries with overflow
+        # still 0 (review-confirmed repro lives in test_rasterize.py).
+        shift_raw = padded_start - tile_start
+        overflow = jnp.maximum(overflow, jnp.max(shift_raw) - pad_cap)
         # dest[p] = p + shift[tile of p]; the per-entry shift is expanded by
         # the same diff-scatter + cumsum trick along the tile-sorted order.
-        shift = jnp.minimum(padded_start - tile_start, pad_cap)
+        shift = jnp.minimum(shift_raw, pad_cap)
         shift_e = _expand(shift, tile_start, m_cap)
         dest = e_idx + shift_e                         # sentinels land past
         # dest is strictly increasing (position + a non-decreasing per-tile

@@ -470,11 +470,14 @@ def _composite_bwd_call(entries, tile_start, tile_count, tile_base, accum,
         interpret=interpret,
     )(ct, rank0, cnt, tile_base, dma, out_idx, entries, merged)
     # Contract: rows past the aligned layout's real extent (the tail) are
-    # UNSPECIFIED on hardware — the out_idx routing above never writes them
-    # (they are pure padding; the renderer's gather-VJP reduction provably
-    # never reads them: inv_src only addresses real aligned slots). In
-    # interpret mode (the oracle-comparison tests) zero them so raw
-    # d_entries comparisons stay exact.
+    # UNSPECIFIED on hardware — the out_idx routing above never writes
+    # them. Consumers MUST NOT read them as numbers: sentinel inv_src
+    # slots DO address this tail, which is why _gather_entries_bwd zeroes
+    # presort rows past the real entry count before its prefix scan (the
+    # MXU kernel's 0·garbage would otherwise propagate NaN/Inf — see
+    # test_gather_vjp_masks_unwritten_tail). In interpret mode (the
+    # oracle-comparison tests) zero them so raw d_entries comparisons
+    # stay exact.
     if interpret:
         row = jnp.arange(M, dtype=jnp.int32)
         d_entries = jnp.where((row < end * G)[:, None], d_entries, 0.0)
