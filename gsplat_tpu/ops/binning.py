@@ -171,7 +171,8 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     defines the gaussian order every per-gaussian output refers to.
 
     With ``conic`` (N,3) + ``t_cut`` (N,) rect expansion is replaced by
-    per-tile-row ellipse culling (requires sort_gaussians): each gaussian
+    per-tile-row ellipse culling (works with either depth-key mode): each
+    gaussian
     becomes ``row_slots`` static sub-rects — single tile rows carrying the
     level-set ellipse's exact x-interval, plus one tail block for any
     remaining rows (see the expansion-units comment below). Conservative
@@ -225,7 +226,6 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     # axis-aligned rect, far less for diagonal anisotropic splats) never
     # enter the entry list, shrinking every M-sized pass.
     if conic is not None:
-        assert sort_gaussians, "per-row culling requires sort_gaussians"
         R = row_slots
         rvec = jnp.arange(R, dtype=jnp.int32)[None, :]       # (1,R)
         h_u = jnp.where(rvec < R - 1,
@@ -329,9 +329,12 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
             tile_s, gidx_s, e_s = jax.lax.sort((tile, gidx, e_idx),
                                                num_keys=2)
     else:
-        # positive f32 ordering == int32 bit-pattern ordering (depth > 0)
+        # positive f32 ordering == int32 bit-pattern ordering (depth > 0);
+        # per-UNIT values (slots repeat their gaussian's depth)
         dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
-        dkey_e = _expand(dbits, offsets, m_cap)
+        if conic is not None:
+            dbits = jnp.repeat(dbits, row_slots)
+        dkey_e = _expand(dbits, uoffsets, m_cap)
         dkey = jnp.where(valid, dkey_e, jnp.iinfo(jnp.int32).max)
         tile_s, _, gidx_s, e_s = jax.lax.sort((tile, dkey, gidx, e_idx),
                                               num_keys=2)

@@ -121,12 +121,20 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
         in_slab = (pre_depth >= lo) & (pre_depth < hi)
         radius = jnp.where(in_slab, pre_radius, 0.0)
         from gsplat_tpu.ops.rasterize import composite_dispatch
+        cull_kw = {}
+        if cfg.row_cull:
+            # slab masking rides radius/rx/ry (valid_g); the per-gaussian
+            # intervals are slab-independent so the union over slabs drops
+            # exactly the single-chip culled set
+            cull_kw = dict(conic=jax.lax.stop_gradient(pre.conic),
+                           t_cut=jax.lax.stop_gradient(pre.t_cut),
+                           row_slots=cfg.row_slots)
         b = binning_lib.bin_gaussians(
             pre_mean2d, pre_depth, radius,
             rx=jnp.where(in_slab, pre_rx, 0.0),
             ry=jnp.where(in_slab, pre_ry, 0.0),
             image_width=W, image_height=H,
-            tile_h=th, tile_w=tw, m_cap=m_cap, align=cfg.chunk)
+            tile_h=th, tile_w=tw, m_cap=m_cap, align=cfg.chunk, **cull_kw)
         from gsplat_tpu.ops.rasterize import _gather_entries
         entries = _gather_entries(packed, b.gidx_sorted, b.inv_src,
                                   b.g_offsets, b.g_counts, m_cap)
