@@ -565,3 +565,49 @@ def test_gather_vjp_masks_unwritten_tail(monkeypatch):
         expect = d_aligned[offsets[g]:offsets[g] + counts[g]].sum(axis=0) \
             if counts[g] else np.zeros(width, np.float32)
         np.testing.assert_allclose(got[g], expect, rtol=1e-5, atol=1e-5)
+
+
+def test_row_cull_per_entry_depth_keys():
+    """The non-sorted binning branch (prim_shard's mode) with culling:
+    per-tile entries must still come out depth-ascending, and the culled
+    set must be a subset of the rect set."""
+    rng = np.random.default_rng(11)
+    n = 120
+    W, H = 2 * TILE_W, 4 * TILE_H
+    ntx, nty = W // TILE_W, H // TILE_H
+    A = rng.standard_normal((n, 2, 2)) * rng.uniform(1, 20, (n, 1, 1))
+    cov = A @ np.transpose(A, (0, 2, 1)) + 0.3 * np.eye(2)
+    conic_m = np.linalg.inv(cov).astype(np.float32)
+    conic = np.stack([conic_m[:, 0, 0], conic_m[:, 0, 1],
+                      conic_m[:, 1, 1]], -1)
+    op = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    t_cut = np.maximum(2.0 * np.log(op * 255.0), 0.0).astype(np.float32)
+    mean2d = np.stack([rng.uniform(0, W, n),
+                       rng.uniform(0, H, n)], -1).astype(np.float32)
+    rx = np.ceil(np.sqrt(t_cut * cov[:, 0, 0])).astype(np.float32)
+    ry = np.ceil(np.sqrt(t_cut * cov[:, 1, 1])).astype(np.float32)
+    radius = np.maximum(rx, ry).astype(np.float32)
+    depth = rng.uniform(0.5, 10.0, n).astype(np.float32)
+
+    kw = dict(image_width=W, image_height=H, tile_h=TILE_H, tile_w=TILE_W,
+              m_cap=64 * n, align=1, sort_gaussians=False)
+    b0 = binning_lib.bin_gaussians(jnp.asarray(mean2d), jnp.asarray(depth),
+                                   jnp.asarray(radius), rx=jnp.asarray(rx),
+                                   ry=jnp.asarray(ry), **kw)
+    b1 = binning_lib.bin_gaussians(jnp.asarray(mean2d), jnp.asarray(depth),
+                                   jnp.asarray(radius), rx=jnp.asarray(rx),
+                                   ry=jnp.asarray(ry),
+                                   conic=jnp.asarray(conic),
+                                   t_cut=jnp.asarray(t_cut), **kw)
+    assert int(b1.num_pairs) <= int(b0.num_pairs)
+    for b, other in ((b1, b0),):
+        ts, tc = np.asarray(b.tile_start), np.asarray(b.tile_count)
+        gs = np.asarray(b.gidx_sorted)
+        ts0, tc0 = np.asarray(other.tile_start), np.asarray(other.tile_count)
+        gs0 = np.asarray(other.gidx_sorted)
+        for t in range(ntx * nty):
+            seg = gs[ts[t]:ts[t] + tc[t]]
+            d = depth[seg]
+            assert (np.diff(d) >= 0).all(), f"tile {t} not depth-ordered"
+            assert set(seg) <= set(gs0[ts0[t]:ts0[t] + tc0[t]]), \
+                f"tile {t}: culling added pairs"
