@@ -132,6 +132,14 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, entries_ref,
         a1 = jnp.where(valid & (alpha >= alpha_min) & (power <= 0.0),
                        alpha, 0.0)                            # (G,P)
         lg = jnp.log1p(-a1)
+        # Precision note (applies to every dot in fwd+bwd kernels): these
+        # run at DEFAULT precision deliberately. The on-chip gate
+        # (tools/drive_render.py pallas vs xla, tpu_ci stages 1-2) holds
+        # the kernel to ~1e-4 image agreement against the f32 XLA oracle
+        # on real hardware — evidence Mosaic's in-kernel f32 dot is not
+        # the one-pass-bf16 XLA-conv trap (ops/ssim.py). HIGHEST would
+        # multiply the dominant per-chunk matmul cost for no measured
+        # accuracy need; revisit only if the drive agreement degrades.
         t_excl = tcur * jnp.exp(
             jnp.dot(_tri_lower(G, strict=True), lg,
                     preferred_element_type=jnp.float32))      # (G,P)

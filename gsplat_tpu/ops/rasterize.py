@@ -116,21 +116,29 @@ def _prefix_at(intra, block_pre, L, bnd):
     return jnp.where((bnd > 0)[..., None], v, 0.0)
 
 
+def masked_presort_prefix(d_aligned, inv_src, total, m_cap):
+    """``_blocked_prefix`` of the presort-ordered gradient rows with the
+    tail past ``total`` ZEROED first. Rows there come from sentinel
+    inv_src slots pointing at d_aligned positions the backward kernel
+    never wrote (the dead-chunk DMA skip leaves them as recycled HBM
+    bits). The exact-add cumsum never surfaces them in any boundary
+    difference, but the MXU scan kernel multiplies them by literal zeros
+    — and 0·NaN/0·Inf poisons every prefix row of the block containing
+    ``total``. EVERY gather-VJP variant must route through this helper
+    (the single-chip path below and parallel/sharded's ring backward)."""
+    d_presort = d_aligned[inv_src]                      # (m_cap, width)
+    d_presort = jnp.where(
+        (jnp.arange(m_cap, dtype=jnp.int32) < total)[:, None],
+        d_presort, 0.0)
+    return _blocked_prefix(d_presort, m_cap)
+
+
 def _gather_entries_bwd(m_cap, res, d_aligned):
     inv_src, g_offsets, g_counts, n_rows = res
     width = d_aligned.shape[1]
     total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
-    d_presort = d_aligned[inv_src]                      # (m_cap, width)
-    # Rows past ``total`` come from sentinel inv_src slots pointing at
-    # d_aligned positions the backward kernel never wrote (the dead-chunk
-    # DMA skip leaves them as recycled HBM bits). The exact-add cumsum
-    # never surfaces them in any boundary difference, but the MXU scan
-    # kernel multiplies them by literal zeros — and 0·NaN/0·Inf poisons
-    # every prefix row of the block containing ``total``. Zero the tail.
-    d_presort = jnp.where(
-        (jnp.arange(m_cap, dtype=jnp.int32) < total)[:, None],
-        d_presort, 0.0)
-    intra, block_pre, L = _blocked_prefix(d_presort, m_cap)
+    intra, block_pre, L = masked_presort_prefix(d_aligned, inv_src, total,
+                                                m_cap)
 
     # Per-gaussian sums as ONE boundary-gather pass: entries of gaussian g
     # occupy [offsets[g], offsets[g+1]) presort (offsets is the exclusive

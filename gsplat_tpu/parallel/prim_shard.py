@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gsplat_tpu.config import RasterizerConfig
@@ -51,13 +52,16 @@ def _slab_bounds(depth: jnp.ndarray, visible: jnp.ndarray, n_dev: int,
     big = jnp.float32(3.0e38)
     d = jnp.where(visible, depth, big)
     d = jnp.sort(d)
-    n_vis = jnp.sum(visible.astype(jnp.int32))
-    take = jnp.minimum(n_samples, jnp.maximum(n_vis, 1))
+    n_vis = jnp.maximum(jnp.sum(visible.astype(jnp.int32)), 1)
+    # stride the sample over ALL n_vis visible depths (an i/n_samples·take
+    # stride over the first `take` sorted entries sampled only the nearest
+    # n_samples depths whenever n_vis > n_samples, collapsing every inner
+    # boundary into the near field and dumping ~all pairs on the far
+    # slab — review finding), then take even quantiles OF THE SAMPLE.
     idx = (jnp.arange(n_samples, dtype=jnp.float32) / n_samples
-           * take.astype(jnp.float32)).astype(jnp.int32)
+           * n_vis.astype(jnp.float32)).astype(jnp.int32)
     sample = d[jnp.clip(idx, 0, depth.shape[0] - 1)]            # sorted
-    q = (jnp.arange(1, n_dev, dtype=jnp.float32) / n_dev
-         * take.astype(jnp.float32)).astype(jnp.int32)
+    q = np.arange(1, n_dev) * n_samples // n_dev
     inner = sample[jnp.clip(q, 0, n_samples - 1)]
     return jnp.concatenate([jnp.full((1,), -big), inner,
                             jnp.full((1,), big)])
@@ -114,6 +118,12 @@ def render_prim_sharded(gaussians: GaussianParams, cam: CameraView,
 
     def shard_fn(packed, pre_mean2d, pre_depth, pre_radius, pre_rx, pre_ry,
                  bounds):
+        # NOTE on gradients: ``packed`` is replicated (P() in-spec) and
+        # differentiable; shard_map's transpose psums the per-slab
+        # cotangents itself here — verified empirically by
+        # test_prim_sharded_grads_match_single, which FAILS with a 2x
+        # grad if an explicit _psum_grad is added on top. (tile_shard's
+        # explicit _psum_grad serves its different out-spec layout.)
         k = jax.lax.axis_index(axis)
         lo = bounds[k]
         hi = bounds[k + 1]

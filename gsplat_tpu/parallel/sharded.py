@@ -48,7 +48,7 @@ from gsplat_tpu.models import gaussian_model as gm
 from gsplat_tpu.ops import binning as binning_lib
 from gsplat_tpu.ops import losses
 from gsplat_tpu.ops import preprocess as preprocess_lib
-from gsplat_tpu.ops.rasterize import (_blocked_prefix, _gather_entries,
+from gsplat_tpu.ops.rasterize import (_gather_entries, masked_presort_prefix,
                                       _prefix_at, _tiles_to_image,
                                       composite_dispatch, pack_rows)
 from gsplat_tpu.train import densify as densify_lib
@@ -128,9 +128,11 @@ def _ring_gather_fwd(packed_loc, idx, inv_src, g_offsets, g_counts,
 def _ring_gather_bwd(static, res, d_aligned):
     axis, n_dev, m_cap = static
     _, rows, inv_src, g_offsets, g_counts, rank_inv = res
-    d_presort = d_aligned[inv_src]                       # (m_cap, 16)
-    intra, block_pre, L = _blocked_prefix(d_presort, m_cap)
     total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
+    # shared helper: zeroes the unwritten presort tail before the MXU
+    # scan (same 0·garbage hazard as the single-chip gather-VJP)
+    intra, block_pre, L = masked_presort_prefix(d_aligned, inv_src, total,
+                                                m_cap)
     bnd = jnp.clip(jnp.concatenate([g_offsets, total[None]]), 0, m_cap)
     k = jax.lax.axis_index(axis)
 
@@ -370,8 +372,12 @@ def make_sharded_dp_train_step(mesh: Mesh, *, image_width: int,
             cam1 = jax.tree_util.tree_map(lambda x: x[0], cam)
             slab, radius_loc, num_pairs, overflow = base_fn(
                 trainables_loc, active_loc, sh_degree, tap_slice[0], cam1)
+            # per-frame num_pairs (already psum'd over the prim axis) →
+            # MAX over cameras, matching dp.py: the host's capacity policy
+            # reads this as a per-frame count; a batch SUM would inflate
+            # the overflow grow (and its hysteresis floor) by ~B forever
             return (slab[None], radius_loc[None],
-                    jax.lax.psum(num_pairs, data_axis),
+                    jax.lax.pmax(num_pairs, data_axis),
                     jax.lax.pmax(overflow, data_axis))
 
         render_fn = jax.shard_map(

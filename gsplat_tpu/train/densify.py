@@ -114,6 +114,14 @@ def densify_and_prune(g: GaussianParams, adam: AdamState, stats: DensifyStats,
     dest_s2 = take_free(n_clone + 2 * split_rank + 1, mask_s)
     wanted = n_clone + 2 * n_split
     overflow = jnp.maximum(wanted - n_free, 0)
+    # a split is atomic: if the free list ran out for EITHER child, route
+    # both to the sentinel so neither row is written/activated — otherwise
+    # the boundary candidate would place child 1 (reduced scale) while the
+    # original stays active, a half-split hybrid the reference never
+    # produces (the host grows capacity and the next event redoes it)
+    placed_s = mask_s & (dest_s1 < cap) & (dest_s2 < cap)
+    dest_s1 = jnp.where(placed_s, dest_s1, cap)
+    dest_s2 = jnp.where(placed_s, dest_s2, cap)
 
     # --- split samples: x_new = R·ε + x, ε ~ N(0, scale) (ref :418-422) ---
     R = quat_to_rotmat(g.get_rotation())                      # (CAP,3,3)
@@ -150,7 +158,6 @@ def densify_and_prune(g: GaussianParams, adam: AdamState, stats: DensifyStats,
     active = active.at[dest_c].set(True, mode="drop")
     active = active.at[dest_s1].set(True, mode="drop")
     active = active.at[dest_s2].set(True, mode="drop")
-    placed_s = mask_s & (dest_s1 < cap) & (dest_s2 < cap)
     active = jnp.where(placed_s, False, active)
 
     # --- stats zeroed (postfix, ref :405-407) then prune (ref :460-465) ---

@@ -255,7 +255,15 @@ def train(dataset: ModelConfig, opt: OptimizationConfig, pipe: PipelineConfig,
         # the frame's densification stats are all rolled back, then the
         # retry applies the one true update. Runs before densification so a
         # densify event never acts on the corrupted stats.
-        if int(aux.overflow) > 0:
+        retry = 0
+        while int(aux.overflow) > 0:
+            retry += 1
+            if retry > 4:   # growth is exponential; 4 doublings = 16x
+                raise RuntimeError(
+                    f"[iter {iteration}] pair list still overflows after "
+                    f"{retry - 1} grow-retries (pairs_per_gaussian="
+                    f"{rcfg.pairs_per_gaussian:.1f}) — a retry that still "
+                    "truncates must never be committed (garbage gradients)")
             n_act = max(int(np.asarray(state.gaussians.num_active())), 1)
             pairs_pg = int(aux.num_pairs) / n_act
             rcfg = dataclasses.replace(

@@ -399,3 +399,24 @@ def test_sharded_dp_2d_mesh_capacity_growth(rng):
     rows2 = {s.data.shape[0]
              for s in state.adam.mu["xyz"].addressable_shards}
     assert rows2 == {192 // 4}
+
+
+def test_slab_bounds_balanced_beyond_sample_size():
+    """_slab_bounds with n_vis >> n_samples: boundaries must be even
+    quantiles of ALL visible depths (the old double-scaled indexing
+    sampled only the nearest n_samples, collapsing every inner boundary
+    into the near field — review finding)."""
+    from gsplat_tpu.parallel.prim_shard import _slab_bounds
+    rng = np.random.default_rng(0)
+    n = 20_000
+    depth = jnp.asarray(rng.uniform(1.0, 9.0, n).astype(np.float32))
+    visible = jnp.ones((n,), bool)
+    for n_dev in (2, 4, 8):
+        b = np.asarray(_slab_bounds(depth, visible, n_dev, n_samples=4096))
+        assert b.shape == (n_dev + 1,)
+        counts = np.array([np.sum((np.asarray(depth) >= b[i])
+                                  & (np.asarray(depth) < b[i + 1]))
+                           for i in range(n_dev)])
+        frac = counts / n
+        assert (np.abs(frac - 1.0 / n_dev) < 0.05).all(), \
+            f"n_dev={n_dev}: slab fractions {frac} far from uniform"
