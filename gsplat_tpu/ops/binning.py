@@ -257,9 +257,11 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
         u_y0, u_x0 = y0, x0
         u_w = jnp.where(valid_g, rect_w, 0)
         u_h = jnp.where(valid_g, rect_h, 0)
-        counts = (u_w * u_h).astype(jnp.int32)
+        counts = None       # == ucounts below (unit == gaussian here)
 
     ucounts = (u_w * u_h).astype(jnp.int32)
+    if counts is None:
+        counts = ucounts
     uoffsets = (jnp.cumsum(ucounts) - ucounts).astype(jnp.int32)  # excl.
     total = uoffsets[-1] + ucounts[-1]
     overflow = jnp.maximum(total - m_cap, 0)
