@@ -22,7 +22,61 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+if "--device" in sys.argv:
+    # e.g. `bench.py --device cpu`: smoke mode that never touches the TPU
+    # tunnel (used by CI and to sanity-check the harness during outages).
+    # The container's sitecustomize registers the TPU backend before this
+    # file runs, so JAX_PLATFORMS would be too late — flip post-init the
+    # same way tests/conftest.py does.
+    jax.config.update("jax_platforms",
+                      sys.argv[sys.argv.index("--device") + 1])
+
 BASELINE_PIX_PER_S = 1.4e7
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _last_measured():
+    """Most recent successfully-parsed BENCH_r*.json in the repo, so an
+    infrastructure outage is distinguishable from a perf regression at a
+    glance (VERDICT r3 weak #1). Returns (filename, parsed dict) or None."""
+    import glob
+    best = None
+    for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("parsed") and "value" in rec["parsed"]:
+                best = (os.path.basename(path), rec["parsed"])
+        except (json.JSONDecodeError, OSError):
+            continue
+    return best
+
+
+def _init_backend_with_retry(attempts=3, backoff_s=150):
+    """Initialize the JAX backend, retrying on the transient tunnel flaps
+    seen in BENCH_r03.json. On final failure, emit a STRUCTURED one-line
+    JSON naming the outage (with the last measured number carried forward
+    for context) instead of a raw traceback, and exit 0 so the driver
+    records a parseable artifact."""
+    err = None
+    for i in range(attempts):
+        try:
+            return jax.default_backend()
+        except Exception as e:  # RuntimeError/JaxRuntimeError: Unavailable
+            err = e
+            if i + 1 < attempts:
+                print(f"# backend init failed (attempt {i + 1}/{attempts}): "
+                      f"{type(e).__name__}; retrying in {backoff_s}s",
+                      file=sys.stderr)
+                time.sleep(backoff_s)
+    last = _last_measured()
+    out = {"error": "tpu_unavailable", "detail": str(err)[:200]}
+    if last is not None:
+        out["last_measured"] = last[1].get("vs_baseline")
+        out["last_measured_value"] = last[1].get("value")
+        out["last_measured_from"] = last[0]
+    print(json.dumps(out))
+    sys.exit(0)
 
 
 def _trained_scene(ply_path):
@@ -67,7 +121,7 @@ def main():
 
     ply_path = sys.argv[sys.argv.index("--ply") + 1] \
         if "--ply" in sys.argv else None
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _init_backend_with_retry() == "tpu"
     W, H = (1920, 1080) if on_tpu else (256, 128)
 
     rng = np.random.default_rng(0)
@@ -170,4 +224,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # A mid-run tunnel drop (device Unavailable after init) must still
+        # leave a parseable artifact, not a bare traceback.
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        msg = str(e)
+        kind = ("tpu_unavailable"
+                if "UNAVAILABLE" in msg or "Unavailable" in msg
+                else "bench_error")
+        out = {"error": kind, "detail": msg[:200]}
+        last = _last_measured()
+        if last is not None:
+            out["last_measured"] = last[1].get("vs_baseline")
+            out["last_measured_from"] = last[0]
+        print(json.dumps(out))
+        sys.exit(0)

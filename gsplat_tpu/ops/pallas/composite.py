@@ -261,7 +261,7 @@ def _tmit_kernel(ct_ref, rank0_ref, cnt_ref, dma_ref, entries_ref, out_ref,
 
     @pl.when(rank0 == 0)
     def _init():
-        out_ref[:] = jnp.zeros((1, P), jnp.float32)
+        out_ref[:] = jnp.zeros((1, 1, P), jnp.float32)
 
     @pl.when(rank0 < count)
     def _step():
@@ -274,7 +274,7 @@ def _tmit_kernel(ct_ref, rank0_ref, cnt_ref, dma_ref, entries_ref, out_ref,
         a1 = jnp.where(valid & (alpha >= alpha_min) & (power <= 0.0),
                        alpha, 0.0)
         out_ref[:] = out_ref[:] + jnp.sum(jnp.log1p(-a1), axis=0,
-                                          keepdims=True)
+                                          keepdims=True)[None]
 
 
 def slab_transmittance_pallas(entries, tile_start, tile_count, *, n_tiles_x,
@@ -302,20 +302,25 @@ def slab_transmittance_pallas(entries, tile_start, tile_count, *, n_tiles_x,
             pl.BlockSpec((G, 16), lambda i, ct, r0, cn, dm: (dm[i], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P), lambda i, ct, r0, cn, dm: (ct[i], 0),
+        # unit middle dim so the block's last-two dims (1,P) EQUAL the
+        # array's — a 2D (1,P) block over (T+1,P) violates the TPU tiling
+        # contract (second-minor must be 8-divisible or full); interpret
+        # mode doesn't check (caught on-chip, round 4)
+        out_specs=pl.BlockSpec((1, 1, P),
+                               lambda i, ct, r0, cn, dm: (ct[i], 0, 0),
                                memory_space=pltpu.VMEM),
     )
     lg = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T + 1, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T + 1, 1, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(ct, rank0, cnt, dma, entries)
     # empty tiles are never visited: mask to T=1
     return jnp.where((tile_count == 0)[:, None], 1.0,
-                     jnp.exp(lg[:T]))
+                     jnp.exp(lg[:T, 0]))
 
 
 # ---------------------------------------------------------------- backward

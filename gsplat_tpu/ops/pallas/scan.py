@@ -46,7 +46,7 @@ def _lane_mix_mats(dtype=jnp.float32):
     return b1, b2
 
 
-def _scan_kernel(x_ref, out_ref, tot_ref, *, F: int):
+def _scan_kernel(x_ref, out_ref, *, F: int):
     x = x_ref[:]                                           # (F,128)
     b1, b2 = _lane_mix_mats()
     r = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
@@ -64,7 +64,6 @@ def _scan_kernel(x_ref, out_ref, tot_ref, *, F: int):
                  precision=hi) \
         + jnp.dot(x, b2, preferred_element_type=jnp.float32, precision=hi)
     out_ref[:] = cs
-    tot_ref[:] = cs[F - 1:F]                               # (1,128)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "interpret"))
@@ -79,20 +78,22 @@ def blocked_cumsum_16(x: jnp.ndarray, *, L: int = 4096,
     n_blocks = M // L
     xf = x.reshape(M // 8, 128)                            # free reshape
 
-    out, tot = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_scan_kernel, F=F),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((F, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((F, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((M // 8, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((n_blocks, 128), jnp.float32)],
+        out_specs=pl.BlockSpec((F, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M // 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(xf)
-    # the block's last real row lives in sub-row 7 → lanes 112..127
-    return out.reshape(M, 16), tot[:, 112:128]
+    # Per-block totals = each block's last folded row, lanes 112..127
+    # (sub-row 7). Sliced outside the kernel: a (1,128)-block second
+    # output would violate the TPU tiling contract (second-minor block
+    # dim must be 8-divisible or equal the array dim — real-lowering
+    # failure caught on-chip in round 4; interpret mode doesn't check).
+    tot = out[F - 1::F, 112:128]                           # (n_blocks,16)
+    return out.reshape(M, 16), tot

@@ -209,3 +209,127 @@ def test_train_cli_2d_mesh(tmp_path, rng):
         "--shard_gaussians"])
     assert os.path.exists(
         os.path.join(model, "point_cloud/iteration_3/point_cloud.ply"))
+
+
+FAKE_COLMAP = r'''#!/usr/bin/env python
+import json, os, shutil, sys
+with open(os.environ["FAKE_COLMAP_LOG"], "a") as f:
+    f.write(json.dumps(sys.argv[1:]) + "\n")
+def arg(name):
+    for i, a in enumerate(sys.argv):
+        if a == name:
+            return sys.argv[i + 1]
+        if a.startswith(name + "="):
+            return a.split("=", 1)[1]
+    return None
+cmd = sys.argv[1]
+if cmd == "feature_extractor":
+    open(arg("--database_path"), "wb").close()
+elif cmd == "mapper":
+    out = os.path.join(arg("--output_path"), "0")
+    os.makedirs(out, exist_ok=True)
+    for n in ("cameras.bin", "images.bin", "points3D.bin"):
+        open(os.path.join(out, n), "wb").close()
+elif cmd == "image_undistorter":
+    assert os.path.isdir(arg("--input_path")), "mapper output missing"
+    out = arg("--output_path")
+    sp = os.path.join(out, "sparse")
+    os.makedirs(sp, exist_ok=True)
+    for n in ("cameras.bin", "images.bin", "points3D.bin"):
+        open(os.path.join(sp, n), "wb").close()
+    imgs = os.path.join(out, "images")
+    os.makedirs(imgs, exist_ok=True)
+    for n in os.listdir(arg("--image_path")):
+        shutil.copy2(os.path.join(arg("--image_path"), n),
+                     os.path.join(imgs, n))
+'''
+
+
+def _fake_colmap(tmp_path, monkeypatch):
+    """A stand-in colmap binary that records argv and fabricates the
+    minimal outputs each downstream stage consumes (the real binary is not
+    installable here; what's under test is cli/convert.py's sequencing,
+    the sparse/*->sparse/0 move, and the resize pyramid — parity with
+    /root/reference/convert.py:31-122)."""
+    exe = tmp_path / "fake_colmap"
+    exe.write_text(FAKE_COLMAP)
+    exe.chmod(0o755)
+    log = tmp_path / "colmap_argv.jsonl"
+    monkeypatch.setenv("FAKE_COLMAP_LOG", str(log))
+    return str(exe), log
+
+
+def _convert_src(tmp_path, W=16, H=12, n=3):
+    from PIL import Image
+    src = tmp_path / "scene"
+    (src / "input").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for i in range(n):
+        arr = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(src / "input" / f"im_{i}.png")
+    return src
+
+
+def test_convert_cli_full_pipeline(tmp_path, monkeypatch):
+    from PIL import Image
+    from gsplat_tpu.cli import convert as convert_cli
+    import shutil as _sh
+
+    exe, log = _fake_colmap(tmp_path, monkeypatch)
+    src = _convert_src(tmp_path)
+    # force the PIL resize path (no dependence on a magick install)
+    monkeypatch.setattr(_sh, "which", lambda name: None)
+
+    convert_cli.main(["--source_path", str(src),
+                      "--colmap_executable", exe, "--resize"])
+
+    calls = [json.loads(line) for line in log.read_text().splitlines()]
+    assert [c[0] for c in calls] == [
+        "feature_extractor", "exhaustive_matcher", "mapper",
+        "image_undistorter"]
+    fe, em, mp, iu = calls
+    assert fe[fe.index("--ImageReader.camera_model") + 1] == "OPENCV"
+    assert fe[fe.index("--ImageReader.single_camera") + 1] == "1"
+    assert fe[fe.index("--SiftExtraction.use_gpu") + 1] == "1"
+    assert em[em.index("--SiftMatching.use_gpu") + 1] == "1"
+    assert any(a.startswith("--Mapper.ba_global_function_tolerance")
+               for a in mp), "tightened BA tolerance missing"
+    assert iu[iu.index("--output_type") + 1] == "COLMAP"
+    # the sparse/* -> sparse/0 move: loaders expect sparse/0/{bins}
+    assert sorted(os.listdir(src / "sparse")) == ["0"]
+    assert sorted(os.listdir(src / "sparse" / "0")) == [
+        "cameras.bin", "images.bin", "points3D.bin"]
+    # resize pyramid at 1/2, 1/4, 1/8 via the PIL fallback
+    for div, (w, h) in ((2, (8, 6)), (4, (4, 3)), (8, (2, 2))):
+        d = src / f"images_{div}"
+        assert sorted(os.listdir(d)) == sorted(os.listdir(src / "images"))
+        with Image.open(d / "im_0.png") as im:
+            assert im.size == (w, h)
+
+
+def test_convert_cli_skip_matching_and_no_gpu(tmp_path, monkeypatch):
+    from gsplat_tpu.cli import convert as convert_cli
+
+    exe, log = _fake_colmap(tmp_path, monkeypatch)
+    src = _convert_src(tmp_path)
+    # --skip_matching expects a prior distorted/sparse/0 reconstruction
+    pre = src / "distorted" / "sparse" / "0"
+    pre.mkdir(parents=True)
+    (pre / "cameras.bin").touch()
+
+    convert_cli.main(["--source_path", str(src), "--colmap_executable",
+                      exe, "--skip_matching", "--no_gpu"])
+    calls = [json.loads(line) for line in log.read_text().splitlines()]
+    assert [c[0] for c in calls] == ["image_undistorter"]
+    assert sorted(os.listdir(src / "sparse")) == ["0"]
+    # no --resize: no pyramid dirs
+    assert not (src / "images_2").exists()
+
+    # and the gpu flag threads through when matching is on
+    log.write_text("")
+    src2 = _convert_src(tmp_path / "b")
+    convert_cli.main(["--source_path", str(src2), "--colmap_executable",
+                      exe, "--no_gpu"])
+    calls = [json.loads(line) for line in log.read_text().splitlines()]
+    fe = calls[0]
+    assert fe[fe.index("--SiftExtraction.use_gpu") + 1] == "0"

@@ -103,3 +103,48 @@ def test_two_process_dp_step_agrees_and_matches_single_process():
         jnp.sum(jnp.abs(new_state.gaussians.xyz))))
     np.testing.assert_allclose(loss, results[0][0], rtol=1e-5)
     np.testing.assert_allclose(checksum, results[0][1], rtol=1e-5)
+
+
+def _spawn_workers(mode):
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = []
+    for pid in range(2):
+        env = dict(env_base,
+                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache_mh")
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "multihost_worker.py"), mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+    results = []
+    for out in outs:
+        m = re.search(r"RESULT ([-\d.]+) ([-\d.]+)", out)
+        assert m, f"no RESULT line in:\n{out[-3000:]}"
+        results.append((float(m.group(1)), float(m.group(2))))
+    return results
+
+
+def test_two_process_sharded_storage_ring_matches_single_process():
+    """Gaussian-sharded storage with the RING transient across a REAL
+    process boundary: the prim-axis ppermute stream crosses the 2-process
+    DCN-style link — the actual >HBM multi-host deployment shape (VERDICT
+    r3 next-step #8). Both ranks must agree, and match the same step run
+    single-process on a 4-device mesh."""
+    results = _spawn_workers("sharded")
+    assert results[0] == results[1], results
+
+    import jax
+    from gsplat_tpu.parallel.mesh import make_mesh
+    from tests import multihost_worker as mw
+
+    mesh = make_mesh((("prim", 4),), devices=jax.devices()[:4])
+    loss_1, checksum_1 = mw.run_sharded_step(mesh)
+    np.testing.assert_allclose(results[0][0], loss_1, rtol=1e-5)
+    np.testing.assert_allclose(results[0][1], checksum_1, rtol=1e-4)
