@@ -35,13 +35,15 @@ def main(argv=None):
                              "all devices (for scenes beyond one chip's "
                              "memory; see SCALING.md)")
     parser.add_argument("--shard_transient", default="replicated",
-                        choices=["replicated", "ring"],
+                        choices=["replicated", "ring", "slab"],
                         help="sharded-storage render-buffer strategy: "
                              "'replicated' all_gathers the (N,16) packed "
                              "rows per frame (fastest); 'ring' streams "
                              "them slab-by-slab over ppermute so the "
-                             "per-chip transient is O(N/D) — for N beyond "
-                             "the replicated ceiling (SCALING.md)")
+                             "per-chip transient is O(N/D); 'slab' also "
+                             "streams BINNING (per-slab expansion + merged "
+                             "sort) so nothing N-sized materializes — for "
+                             "N beyond the ring ceiling (SCALING.md)")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
     parser.add_argument("--checkpoint_interval", type=int, default=0,

@@ -138,6 +138,134 @@ def _slot_x_interval(mu_x, mu_y, ca, cb, cc, t, y_top, n_px):
     return u_lo - 0.5, u_hi + 0.5, nonempty
 
 
+class UnitExpansion(NamedTuple):
+    """Per-entry arrays + per-gaussian tables from one expansion pass
+    (``_expand_units``): the sort- and layout-independent first half of
+    binning, shared by the single-list path (``bin_gaussians``) and the
+    slab-streamed path (``expand_slab``/``merge_slab_binning``)."""
+    tile: jnp.ndarray          # (m_cap,) int32; sentinel n_tiles past total
+    gidx: jnp.ndarray          # (m_cap,) int32; sentinel n past total
+    counts: jnp.ndarray        # (N,) entries per gaussian
+    offsets: jnp.ndarray       # (N,) exclusive per-gaussian entry starts
+    uoffsets: jnp.ndarray      # (N·R,) per-UNIT exclusive starts
+    total: jnp.ndarray         # () int32 real entries (pre-truncation)
+    corner_grid: jnp.ndarray   # (ty+1, tx+1) ±1 corners; 2D-cumsum it for
+    #   the per-tile histogram (additive across slabs)
+
+
+def _expand_units(mean2d, radius, rx, ry, *, n_tiles_x, n_tiles_y,
+                  tile_h, tile_w, m_cap, conic=None, t_cut=None,
+                  row_slots: int = 4) -> UnitExpansion:
+    """Rects → (tile, gaussian) entry expansion, gather-free.
+
+    Expansion UNITS: one rect per unit, decoded 2D (k//w, k%w).
+    Plain binning: unit == gaussian, rect == the rx×ry bounding rect.
+    Row culling (``conic``+``t_cut``): unit == slot, R static slots per
+    gaussian — slots 0..R-2 are single tile rows carrying the level-set
+    ellipse's exact x-interval for that row (``_slot_x_interval``), slot
+    R-1 is the TAIL BLOCK covering all remaining rows at the interval of
+    their union's span (still culled, just jointly). Everything downstream
+    (counts → offsets → the 3 shared M-sized expansions → histogram →
+    sort) is identical; only the unit arrays differ. Dense (N,R) slot
+    math costs no scatter/cumsum passes and cannot overflow (unlike a
+    dynamically-sized gaussian→row expansion), and pairs the compositor
+    would zero anyway (rect corners outside the ellipse — ~π/4 of an
+    axis-aligned rect, far less for diagonal anisotropic splats) never
+    enter the entry list, shrinking every M-sized pass."""
+    n = mean2d.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y
+    x0, y0, x1, y1 = tile_rect(mean2d, rx, ry, n_tiles_x, n_tiles_y,
+                               tile_h, tile_w)
+    rect_w = jnp.maximum(x1 - x0, 0)
+    rect_h = jnp.maximum(y1 - y0, 0)
+    valid_g = (radius > 0) & (rx > 0) & (ry > 0)
+    e_idx = jnp.arange(m_cap, dtype=jnp.int32)
+
+    if conic is not None:
+        R = row_slots
+        rvec = jnp.arange(R, dtype=jnp.int32)[None, :]       # (1,R)
+        h_u = jnp.where(rvec < R - 1,
+                        (rvec < rect_h[:, None]).astype(jnp.int32),
+                        jnp.maximum(rect_h[:, None] - (R - 1), 0))
+        ty0_u = y0[:, None] + rvec
+        u_lo, u_hi, nonempty = _slot_x_interval(
+            mean2d[:, 0:1], mean2d[:, 1:2], conic[:, 0:1], conic[:, 1:2],
+            conic[:, 2:3], t_cut[:, None], ty0_u * tile_h, h_u * tile_h)
+        # pre-cast clip (the empty-slot ±3e38 would wrap int32), then
+        # clamp to the rect's own x tile range: the ±0.5px inflation can
+        # otherwise spill one tile past it, ADDING pairs rect binning
+        # never had (the subset property is what makes culling exact).
+        f0 = jnp.clip(jnp.floor((mean2d[:, 0:1] + u_lo) / tile_w),
+                      0.0, jnp.float32(n_tiles_x))
+        f1 = jnp.clip(jnp.floor((mean2d[:, 0:1] + u_hi) / tile_w),
+                      -1.0, jnp.float32(n_tiles_x))
+        tx0_u = jnp.maximum(f0.astype(jnp.int32), x0[:, None])
+        tx1_u = jnp.minimum(f1.astype(jnp.int32) + 1, x1[:, None])
+        w_u = jnp.where(valid_g[:, None] & nonempty & (h_u > 0),
+                        jnp.maximum(tx1_u - tx0_u, 0), 0)
+        h_u = jnp.where(w_u > 0, h_u, 0)
+        counts = (w_u * h_u).sum(axis=1).astype(jnp.int32)   # per-gaussian
+        gv = jnp.repeat(jnp.arange(n, dtype=jnp.int32), R)
+        u_y0, u_x0 = ty0_u.reshape(-1), tx0_u.reshape(-1)
+        u_w, u_h = w_u.reshape(-1), h_u.reshape(-1)
+    else:
+        gv = jnp.arange(n, dtype=jnp.int32)
+        u_y0, u_x0 = y0, x0
+        u_w = jnp.where(valid_g, rect_w, 0)
+        u_h = jnp.where(valid_g, rect_h, 0)
+        counts = None       # == ucounts below (unit == gaussian here)
+
+    ucounts = (u_w * u_h).astype(jnp.int32)
+    if counts is None:
+        counts = ucounts
+    uoffsets = (jnp.cumsum(ucounts) - ucounts).astype(jnp.int32)  # excl.
+    total = uoffsets[-1] + ucounts[-1]
+    # per-gaussian entry offsets (gather-VJP tables): a gaussian's slots
+    # are contiguous in unit order, so its range starts at its first slot
+    offsets = uoffsets if conic is None \
+        else uoffsets.reshape(n, row_slots)[:, 0]
+
+    # --- expansion (gather-free; see module docstring) ---
+    gidx = _expand(gv, uoffsets, m_cap)
+    off_e = _expand(uoffsets, uoffsets, m_cap)
+    # rect base (corner tile id) and width share one cumsum — wraparound-
+    # exact packing saves an M-sized pass. The width field must hold
+    # u_w ∈ [1, n_tiles_x]: size it from the grid (a hardcoded 2^7 would
+    # silently corrupt tile ids for n_tiles_x ≥ 128, e.g. 16px tiles at
+    # ≥2K wide). Packing fits int32 comfortably up to ~8K renders; beyond
+    # that fall back to a second unpacked expansion pass.
+    wmult = 1 << int(n_tiles_x).bit_length()           # wmult > n_tiles_x
+    if (n_tiles - 1) * wmult + n_tiles_x < 2 ** 31:
+        bw = (u_y0 * n_tiles_x + u_x0) * wmult + jnp.maximum(u_w, 1)
+        bw_e = _expand(bw, uoffsets, m_cap)
+        base_e = bw_e // wmult
+        w_e = bw_e - base_e * wmult
+    else:
+        base_e = _expand(u_y0 * n_tiles_x + u_x0, uoffsets, m_cap)
+        w_e = _expand(jnp.maximum(u_w, 1), uoffsets, m_cap)
+
+    valid = e_idx < total
+    k = e_idx - off_e                                  # rank inside rect
+    tile = base_e + (k // w_e) * n_tiles_x + k % w_e
+    tile = jnp.where(valid, tile, n_tiles)
+    gidx = jnp.where(valid, gidx, n)                   # sentinel gaussian
+
+    # --- per-tile histogram: 4-corner summed-area scatter (unit-sized) ---
+    # (A K-sharded collision-reducing variant measured no change in the
+    # full program — the isolated ~8 ms stage cost overlaps away under
+    # XLA's scheduling; kept simple.)
+    one = (ucounts > 0).astype(jnp.int32)
+    u_y1, u_x1 = u_y0 + u_h, u_x0 + u_w
+    grid = jnp.zeros((n_tiles_y + 1, n_tiles_x + 1), jnp.int32)
+    grid = grid.at[u_y0, u_x0].add(one, mode="drop")
+    grid = grid.at[u_y0, u_x1].add(-one, mode="drop")
+    grid = grid.at[u_y1, u_x0].add(-one, mode="drop")
+    grid = grid.at[u_y1, u_x1].add(one, mode="drop")
+    return UnitExpansion(tile=tile, gidx=gidx, counts=counts,
+                         offsets=offsets, uoffsets=uoffsets, total=total,
+                         corner_grid=grid)
+
+
 def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                   *, image_width: int, image_height: int,
                   tile_h: int, tile_w: int, m_cap: int,
@@ -204,109 +332,18 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
             conic = conic[perm]
             t_cut = t_cut[perm]
 
-    x0, y0, x1, y1 = tile_rect(mean2d, rx, ry, n_tiles_x, n_tiles_y,
-                               tile_h, tile_w)
-    rect_w = jnp.maximum(x1 - x0, 0)
-    rect_h = jnp.maximum(y1 - y0, 0)
-    valid_g = (radius > 0) & (rx > 0) & (ry > 0)
-    e_idx = jnp.arange(m_cap, dtype=jnp.int32)
-
-    # ---- expansion UNITS: one rect per unit, decoded 2D (k//w, k%w) ----
-    # Plain binning: unit == gaussian, rect == the rx×ry bounding rect.
-    # Row culling: unit == slot, R static slots per gaussian — slots
-    # 0..R-2 are single tile rows carrying the level-set ellipse's exact
-    # x-interval for that row (``_slot_x_interval``), slot R-1 is the
-    # TAIL BLOCK covering all remaining rows at the interval of their
-    # union's span (still culled, just jointly). Everything downstream
-    # (counts → offsets → the 3 shared M-sized expansions → histogram →
-    # sort) is identical; only the unit arrays differ. Dense (N,R) slot
-    # math costs no scatter/cumsum passes and cannot overflow (unlike a
-    # dynamically-sized gaussian→row expansion), and pairs the compositor
-    # would zero anyway (rect corners outside the ellipse — ~π/4 of an
-    # axis-aligned rect, far less for diagonal anisotropic splats) never
-    # enter the entry list, shrinking every M-sized pass.
-    if conic is not None:
-        R = row_slots
-        rvec = jnp.arange(R, dtype=jnp.int32)[None, :]       # (1,R)
-        h_u = jnp.where(rvec < R - 1,
-                        (rvec < rect_h[:, None]).astype(jnp.int32),
-                        jnp.maximum(rect_h[:, None] - (R - 1), 0))
-        ty0_u = y0[:, None] + rvec
-        u_lo, u_hi, nonempty = _slot_x_interval(
-            mean2d[:, 0:1], mean2d[:, 1:2], conic[:, 0:1], conic[:, 1:2],
-            conic[:, 2:3], t_cut[:, None], ty0_u * tile_h, h_u * tile_h)
-        # pre-cast clip (the empty-slot ±3e38 would wrap int32), then
-        # clamp to the rect's own x tile range: the ±0.5px inflation can
-        # otherwise spill one tile past it, ADDING pairs rect binning
-        # never had (the subset property is what makes culling exact).
-        f0 = jnp.clip(jnp.floor((mean2d[:, 0:1] + u_lo) / tile_w),
-                      0.0, jnp.float32(n_tiles_x))
-        f1 = jnp.clip(jnp.floor((mean2d[:, 0:1] + u_hi) / tile_w),
-                      -1.0, jnp.float32(n_tiles_x))
-        tx0_u = jnp.maximum(f0.astype(jnp.int32), x0[:, None])
-        tx1_u = jnp.minimum(f1.astype(jnp.int32) + 1, x1[:, None])
-        w_u = jnp.where(valid_g[:, None] & nonempty & (h_u > 0),
-                        jnp.maximum(tx1_u - tx0_u, 0), 0)
-        h_u = jnp.where(w_u > 0, h_u, 0)
-        counts = (w_u * h_u).sum(axis=1).astype(jnp.int32)   # per-gaussian
-        gv = jnp.repeat(jnp.arange(n, dtype=jnp.int32), R)
-        u_y0, u_x0 = ty0_u.reshape(-1), tx0_u.reshape(-1)
-        u_w, u_h = w_u.reshape(-1), h_u.reshape(-1)
-    else:
-        gv = jnp.arange(n, dtype=jnp.int32)
-        u_y0, u_x0 = y0, x0
-        u_w = jnp.where(valid_g, rect_w, 0)
-        u_h = jnp.where(valid_g, rect_h, 0)
-        counts = None       # == ucounts below (unit == gaussian here)
-
-    ucounts = (u_w * u_h).astype(jnp.int32)
-    if counts is None:
-        counts = ucounts
-    uoffsets = (jnp.cumsum(ucounts) - ucounts).astype(jnp.int32)  # excl.
-    total = uoffsets[-1] + ucounts[-1]
+    ex = _expand_units(mean2d, radius, rx, ry, conic=conic, t_cut=t_cut,
+                       row_slots=row_slots, n_tiles_x=n_tiles_x,
+                       n_tiles_y=n_tiles_y, tile_h=tile_h, tile_w=tile_w,
+                       m_cap=m_cap)
+    tile, gidx = ex.tile, ex.gidx
+    counts, offsets = ex.counts, ex.offsets
+    uoffsets, total = ex.uoffsets, ex.total
     overflow = jnp.maximum(total - m_cap, 0)
-    # per-gaussian entry offsets (gather-VJP tables): a gaussian's slots
-    # are contiguous in unit order, so its range starts at its first slot
-    offsets = uoffsets if conic is None \
-        else uoffsets.reshape(n, row_slots)[:, 0]
-
-    # --- expansion (gather-free; see module docstring) ---
-    gidx = _expand(gv, uoffsets, m_cap)
-    off_e = _expand(uoffsets, uoffsets, m_cap)
-    # rect base (corner tile id) and width share one cumsum — wraparound-
-    # exact packing saves an M-sized pass. The width field must hold
-    # u_w ∈ [1, n_tiles_x]: size it from the grid (a hardcoded 2^7 would
-    # silently corrupt tile ids for n_tiles_x ≥ 128, e.g. 16px tiles at
-    # ≥2K wide). Packing fits int32 comfortably up to ~8K renders; beyond
-    # that fall back to a second unpacked expansion pass.
-    wmult = 1 << int(n_tiles_x).bit_length()           # wmult > n_tiles_x
-    if (n_tiles - 1) * wmult + n_tiles_x < 2 ** 31:
-        bw = (u_y0 * n_tiles_x + u_x0) * wmult + jnp.maximum(u_w, 1)
-        bw_e = _expand(bw, uoffsets, m_cap)
-        base_e = bw_e // wmult
-        w_e = bw_e - base_e * wmult
-    else:
-        base_e = _expand(u_y0 * n_tiles_x + u_x0, uoffsets, m_cap)
-        w_e = _expand(jnp.maximum(u_w, 1), uoffsets, m_cap)
-
+    e_idx = jnp.arange(m_cap, dtype=jnp.int32)
     valid = e_idx < total
-    k = e_idx - off_e                                  # rank inside rect
-    tile = base_e + (k // w_e) * n_tiles_x + k % w_e
-    tile = jnp.where(valid, tile, n_tiles)
-    gidx = jnp.where(valid, gidx, n)                   # sentinel gaussian
 
-    # --- per-tile histogram: 4-corner summed-area scatter (unit-sized) ---
-    # (A K-sharded collision-reducing variant measured no change in the
-    # full program — the isolated ~8 ms stage cost overlaps away under
-    # XLA's scheduling; kept simple.)
-    one = (ucounts > 0).astype(jnp.int32)
-    u_y1, u_x1 = u_y0 + u_h, u_x0 + u_w
-    grid = jnp.zeros((n_tiles_y + 1, n_tiles_x + 1), jnp.int32)
-    grid = grid.at[u_y0, u_x0].add(one, mode="drop")
-    grid = grid.at[u_y0, u_x1].add(-one, mode="drop")
-    grid = grid.at[u_y1, u_x0].add(-one, mode="drop")
-    grid = grid.at[u_y1, u_x1].add(one, mode="drop")
-    tile_count = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
+    tile_count = jnp.cumsum(jnp.cumsum(ex.corner_grid, axis=0), axis=1)[
         :n_tiles_y, :n_tiles_x].reshape(-1)
     # With overflow, truncation invalidates the histogram; clamp so
     # ranges stay memory-safe (overflow frames are garbage by contract).
@@ -390,6 +427,130 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                    tile_start=tile_start, tile_count=tile_count,
                    num_pairs=total, overflow=overflow,
                    perm=perm)
+
+
+# --------------------------------------------------- slab-streamed binning
+#
+# For N past what per-chip N-proportional arrays allow (SCALING.md: the
+# geometry all_gather + int expansion columns set a ~250M-gaussian ceiling
+# on 16 GB chips), binning itself streams: the caller (parallel/sharded.py)
+# ppermutes each chip's (N/D)-row geometry slab around the ring, expands
+# each slab into (tile, raw-depth-key) entries at a per-slab cap, then ONE
+# merged sort of the concatenated lists reproduces the global
+# (tile ‖ depth) order — raw f32 depth bits order identically to the
+# global depth rank, so no N-sized sort (and no N-sized perm/rank_inv)
+# ever materializes. Peak geometry per chip: O(N/D).
+#
+# Entries of equal (tile, depth-bits) keep concatenation order, which is
+# ring-ARRIVAL order (chip-dependent). Each pixel is composited by exactly
+# one chip, so images stay self-consistent; exact-tie ordering vs the
+# single-list path may differ (ties have measure zero for real depths).
+
+
+class SlabExpansion(NamedTuple):
+    """One geometry slab's expansion (``expand_slab``): the per-slab half
+    of slab-streamed binning. Concatenate D of these (``merge_slab_
+    binning``) to get the global entry list."""
+    tile: jnp.ndarray         # (m_slab,) int32; sentinel n_tiles past total
+    dkey: jnp.ndarray         # (m_slab,) int32 f32-depth bits; sentinel MAX
+    gidx: jnp.ndarray         # (m_slab,) int32 GLOBAL storage row id;
+    #   sentinel = the caller's sentinel_row (zero packed row)
+    counts: jnp.ndarray       # (n_loc,) entries per slab gaussian
+    offsets: jnp.ndarray      # (n_loc,) ABSOLUTE presort starts
+    #   (slab_base_entry + local exclusive offsets)
+    corner_grid: jnp.ndarray  # (ty+1, tx+1) ±1 corners (additive)
+    total: jnp.ndarray        # () int32 real entries of this slab
+    overflow: jnp.ndarray     # () int32 entries dropped past m_slab
+
+
+def expand_slab(mean2d, depth, radius, rx, ry, *, row_base, slab_base_entry,
+                sentinel_row, image_width: int, image_height: int,
+                tile_h: int, tile_w: int, m_slab: int,
+                conic=None, t_cut=None, row_slots: int = 4) -> SlabExpansion:
+    """Expand ONE (n_loc)-row geometry slab into at most ``m_slab``
+    (tile, depth-key, storage-row) entries. ``row_base`` is the slab
+    owner's first global storage row (may be traced — it only enters
+    arithmetic); ``slab_base_entry`` positions this slab's presort range
+    [slab_base_entry, slab_base_entry + m_slab) in the concatenated
+    layout. Depth must be > 0 (positive-f32 bit ordering)."""
+    n_tiles_x = -(-image_width // tile_w)
+    n_tiles_y = -(-image_height // tile_h)
+    ex = _expand_units(mean2d, radius, rx, ry, conic=conic, t_cut=t_cut,
+                       row_slots=row_slots, n_tiles_x=n_tiles_x,
+                       n_tiles_y=n_tiles_y, tile_h=tile_h, tile_w=tile_w,
+                       m_cap=m_slab)
+    valid = jnp.arange(m_slab, dtype=jnp.int32) < ex.total
+    dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+    if conic is not None:
+        dbits = jnp.repeat(dbits, row_slots)
+    dkey = jnp.where(valid, _expand(dbits, ex.uoffsets, m_slab),
+                     jnp.iinfo(jnp.int32).max)
+    gidx = jnp.where(valid, row_base + ex.gidx, sentinel_row)
+    return SlabExpansion(
+        tile=ex.tile, dkey=dkey, gidx=gidx, counts=ex.counts,
+        offsets=slab_base_entry + ex.offsets, corner_grid=ex.corner_grid,
+        total=ex.total, overflow=jnp.maximum(ex.total - m_slab, 0))
+
+
+def merge_slab_binning(slabs, *, sentinel_row: int, image_width: int,
+                       image_height: int, tile_h: int, tile_w: int,
+                       align: int, pad_cap: int | None = None) -> Binning:
+    """One merged sort + chunk-aligned layout over D concatenated slab
+    expansions — the global half of slab-streamed binning. Returned
+    ``g_offsets``/``g_counts`` are the slabs' tables concatenated in the
+    SAME order as ``slabs`` (the ring-gather backward indexes them
+    per-slab); ``perm`` is None (storage ids are already global)."""
+    n_tiles_x = -(-image_width // tile_w)
+    n_tiles_y = -(-image_height // tile_h)
+    n_tiles = n_tiles_x * n_tiles_y
+    m_slab = slabs[0].tile.shape[0]
+    m_cap = m_slab * len(slabs)
+    e_idx = jnp.arange(m_cap, dtype=jnp.int32)
+
+    tile = jnp.concatenate([s.tile for s in slabs])
+    dkey = jnp.concatenate([s.dkey for s in slabs])
+    gidx = jnp.concatenate([s.gidx for s in slabs])
+    total = sum(s.total for s in slabs)
+    overflow = sum(s.overflow for s in slabs)
+    grid = sum(s.corner_grid for s in slabs)
+    g_offsets = jnp.concatenate([s.offsets for s in slabs])
+    g_counts = jnp.concatenate([s.counts for s in slabs])
+
+    tile_count = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
+        :n_tiles_y, :n_tiles_x].reshape(-1)
+    tile_count = jnp.minimum(tile_count, m_cap)
+    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
+
+    tile_s, _, gidx_s, e_s = jax.lax.sort((tile, dkey, gidx, e_idx),
+                                          num_keys=2)
+
+    assert align > 1, "slab-streamed binning always feeds aligned kernels"
+    if pad_cap is None:
+        pad_cap = align * n_tiles
+    pad_cap = min(-(-pad_cap // align) * align, align * n_tiles)
+    padded_count = -(-tile_count // align) * align
+    ends = jnp.cumsum(padded_count).astype(jnp.int32)
+    padded_start = (ends - padded_count).astype(jnp.int32)
+    m_out = m_cap + pad_cap
+    num_padded = ends[-1]
+    shift_raw = padded_start - tile_start
+    overflow = jnp.maximum(overflow, jnp.max(shift_raw) - pad_cap)
+    shift = jnp.minimum(shift_raw, pad_cap)
+    shift_e = _expand(shift, tile_start, m_cap)
+    dest = e_idx + shift_e
+    # unfilled aligned slots (inter-tile padding) point at the zero packed
+    # row, same contract as bin_gaussians' sentinel fill
+    gidx_aligned = jnp.full((m_out,), sentinel_row, jnp.int32).at[dest].set(
+        gidx_s, mode="drop", unique_indices=True, indices_are_sorted=True)
+    inv_src = jnp.zeros((m_cap,), jnp.int32).at[e_s].set(
+        dest, mode="drop", unique_indices=True)
+    padded_start = jnp.minimum(padded_start, m_out - align)
+    tile_count = jnp.minimum(tile_count, m_out - padded_start)
+    return Binning(gidx_sorted=gidx_aligned, tile_sorted=None,
+                   tile_start=padded_start, tile_count=tile_count,
+                   num_pairs=total, overflow=overflow,
+                   num_padded=num_padded, inv_src=inv_src,
+                   g_offsets=g_offsets, g_counts=g_counts, perm=None)
 
 
 def chunk_tables(tile_start, tile_count, *, n_tiles: int, chunk: int,

@@ -133,6 +133,21 @@ def masked_presort_prefix(d_aligned, inv_src, total, m_cap):
     return _blocked_prefix(d_presort, m_cap)
 
 
+def masked_presort_prefix_slabs(d_aligned, inv_src, slab_totals, m_slab,
+                                m_cap):
+    """``masked_presort_prefix`` for the slab-streamed presort layout
+    (ops/binning.py merge_slab_binning): slab s owns presort rows
+    [s·m_slab, (s+1)·m_slab) of which only the first slab_totals[s] are
+    real — the per-slab dead tails must be zeroed before the MXU scan for
+    the same 0·garbage reason as the single-list tail."""
+    d_presort = d_aligned[inv_src]                      # (m_cap, width)
+    pos = jnp.arange(m_cap, dtype=jnp.int32)
+    s = pos // m_slab
+    valid = (pos - s * m_slab) < slab_totals[s]
+    d_presort = jnp.where(valid[:, None], d_presort, 0.0)
+    return _blocked_prefix(d_presort, m_cap)
+
+
 def _gather_entries_bwd(m_cap, res, d_aligned):
     inv_src, g_offsets, g_counts, n_rows = res
     width = d_aligned.shape[1]

@@ -49,6 +49,7 @@ from gsplat_tpu.ops import binning as binning_lib
 from gsplat_tpu.ops import losses
 from gsplat_tpu.ops import preprocess as preprocess_lib
 from gsplat_tpu.ops.rasterize import (_gather_entries, masked_presort_prefix,
+                                      masked_presort_prefix_slabs,
                                       _prefix_at, _tiles_to_image,
                                       composite_dispatch, pack_rows)
 from gsplat_tpu.train import densify as densify_lib
@@ -155,6 +156,118 @@ def _ring_gather_bwd(static, res, d_aligned):
 _ring_gather_entries.defvjp(_ring_gather_fwd, _ring_gather_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ring_gather_entries_slab(packed_loc, idx, inv_src, g_offsets, g_counts,
+                              slab_totals, static):
+    """``_ring_gather_entries`` for the SLAB-STREAMED binning layout
+    (ops/binning.py expand_slab/merge_slab_binning): no N-sized depth
+    permutation exists, so the per-gaussian tables arrive as per-slab
+    stacks in ring-ARRIVAL order — g_offsets/g_counts are (D·rows,) with
+    slab s (owner (k−s) mod D) at rows [s·rows, (s+1)·rows), offsets
+    ABSOLUTE into the concatenated presort layout, and ``slab_totals``
+    (D,) masking each slab's dead tail. static = (axis, n_dev, m_slab)."""
+    axis, n_dev, m_slab = static
+    return _ring_gather_impl(packed_loc, idx, (axis, n_dev, 0))
+
+
+def _ring_gather_slab_fwd(packed_loc, idx, inv_src, g_offsets, g_counts,
+                          slab_totals, static):
+    axis, n_dev, m_slab = static
+    out = _ring_gather_impl(packed_loc, idx, (axis, n_dev, 0))
+    return out, (packed_loc.shape[0], inv_src, g_offsets, g_counts,
+                 slab_totals)
+
+
+def _ring_gather_slab_bwd(static, res, d_aligned):
+    axis, n_dev, m_slab = static
+    rows, inv_src, g_offsets, g_counts, slab_totals = res
+    m_cap = n_dev * m_slab
+    intra, block_pre, L = masked_presort_prefix_slabs(
+        d_aligned, inv_src, slab_totals, m_slab, m_cap)
+    k = jax.lax.axis_index(axis)
+    off2 = g_offsets.reshape(n_dev, rows)
+    cnt2 = g_counts.reshape(n_dev, rows)
+
+    def partial_for(owner):
+        # owner o's table sits at arrival slot (k − o) mod D
+        slot = (k - owner) % n_dev
+        start = jax.lax.dynamic_index_in_dim(off2, slot, 0, keepdims=False)
+        cnt = jax.lax.dynamic_index_in_dim(cnt2, slot, 0, keepdims=False)
+        lo = _prefix_at(intra, block_pre, L, jnp.clip(start, 0, m_cap))
+        hi = _prefix_at(intra, block_pre, L,
+                        jnp.clip(start + cnt, 0, m_cap))
+        return hi - lo                                   # (rows, 16)
+
+    rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    buf = partial_for((k + 1) % n_dev)
+    for s in range(1, n_dev):
+        buf = jax.lax.ppermute(buf, axis, rev_perm)
+        buf = buf + partial_for((k + 1 + s) % n_dev)
+    return buf, None, None, None, None, None
+
+
+_ring_gather_entries_slab.defvjp(_ring_gather_slab_fwd,
+                                 _ring_gather_slab_bwd)
+
+
+def _render_shard_slab(packed_loc, geom_loc, pre, *, axis, n_dev, W, H,
+                       rows_loc, cfg, m_cap_loc, interpret):
+    """The fully-streamed tail of ``_render_shard_fn`` (transient="slab"):
+    geometry ppermutes around the ring and each arriving slab is expanded
+    into (tile, raw-depth-key) entries at m_cap_loc/D; one merged sort
+    (ops/binning.py merge_slab_binning) reproduces the global order, and
+    the packed render rows stream through a second ring
+    (``_ring_gather_entries_slab``). NOTHING N-sized materializes: the
+    peak per-chip transient is O(N/D) geometry + the (N,) int32
+    offset/count presort tables — the post-250M-ceiling mode of
+    SCALING.md. Per-slab caps overflow independently (surfaced in
+    ``overflow``; the host grows capacity exactly like a pair overflow)."""
+    th, tw = cfg.tile_h, cfg.tile_w
+    n_tiles_x = -(-W // tw)
+    k = jax.lax.axis_index(axis)
+    rows = packed_loc.shape[0]
+    cap_total = n_dev * rows
+    m_slab = max(-(-(m_cap_loc // n_dev) // cfg.chunk) * cfg.chunk,
+                 cfg.chunk)
+    y_shift = (k * rows_loc * th).astype(jnp.float32)
+
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    geom = jax.lax.stop_gradient(geom_loc)
+    slabs = []
+    for s in range(n_dev):
+        owner = (k - s) % n_dev                          # traced: math only
+        mean2d_s = jnp.stack([geom[:, 0], geom[:, 1] - y_shift], axis=-1)
+        cull = dict(conic=geom[:, 6:9], t_cut=geom[:, 9],
+                    row_slots=cfg.row_slots) if cfg.row_cull else {}
+        slabs.append(binning_lib.expand_slab(
+            mean2d_s, geom[:, 2], geom[:, 3], geom[:, 4], geom[:, 5],
+            row_base=owner * rows, slab_base_entry=s * m_slab,
+            sentinel_row=cap_total, image_width=W,
+            image_height=rows_loc * th, tile_h=th, tile_w=tw,
+            m_slab=m_slab, **cull))
+        if s < n_dev - 1:
+            geom = jax.lax.ppermute(geom, axis, fwd_perm)
+    b = binning_lib.merge_slab_binning(
+        slabs, sentinel_row=cap_total, image_width=W,
+        image_height=rows_loc * th, tile_h=th, tile_w=tw, align=cfg.chunk)
+    slab_totals = jnp.stack([jnp.minimum(sl.total, m_slab) for sl in slabs])
+    entries = _ring_gather_entries_slab(
+        packed_loc, b.gidx_sorted, b.inv_src, b.g_offsets, b.g_counts,
+        slab_totals, (axis, n_dev, m_slab))
+
+    out = composite_dispatch(entries, b.tile_start, b.tile_count, cfg,
+                             n_tiles_x=n_tiles_x, n_tiles_y=rows_loc,
+                             tile_id_base=k * rows_loc * n_tiles_x,
+                             interpret=interpret)
+    slab_img = jnp.concatenate([out.accum, out.t_final[:, None, :]], axis=1)
+    slab_img = _tiles_to_image(slab_img, rows_loc, n_tiles_x, th, tw,
+                               rows_loc * th, W)              # (5,h_loc,W)
+    full = jax.lax.all_gather(slab_img, axis, tiled=True, axis=1)
+    return (full[:, :H, :], pre.radius,
+            jax.lax.psum(b.num_pairs, axis),
+            jax.lax.pmax(b.overflow, axis))
+
+
 def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
                      *, axis, n_dev, W, H, n_tiles_y_pad, cfg,
                      m_cap_loc, antialiasing, scaling_modifier=1.0,
@@ -187,12 +300,21 @@ def _render_shard_fn(trainables_loc, active_loc, sh_degree, tap_loc, cam,
                       pre.t_cut]
     geom_loc = jnp.stack(geom_cols, axis=-1)
     # ---- forward collectives over ICI ----
-    # binning GEOMETRY is always gathered: 6 f32/row (240 MB at N=10M;
-    # 10 with row_cull — repaid by the pair-count shrink) —
-    # the rect/key construction needs a global view. The 16-f32 packed
-    # render rows are gathered only on the "replicated" transient path;
+    # binning GEOMETRY is gathered on the "replicated"/"ring" paths:
+    # 6 f32/row (240 MB at N=10M; 10 with row_cull — repaid by the
+    # pair-count shrink) — the rect/key construction needs a global view.
+    # The 16-f32 packed render rows are gathered only on "replicated";
     # "ring" streams them slab-by-slab instead (O(N/D) peak), removing the
     # dominant replicated term of the round-2 memory model (SCALING.md).
+    # "slab" streams BOTH: binning itself goes slab-streamed (per-slab
+    # expansion with raw-depth keys + one merged sort, ops/binning.py), so
+    # no N-sized array of any kind materializes — peak O(N/D) geometry +
+    # 8 B/gaussian of presort tables (the new SCALING.md ceiling term).
+    if transient == "slab":
+        return _render_shard_slab(
+            packed_loc, geom_loc, pre, axis=axis, n_dev=n_dev, W=W, H=H,
+            rows_loc=rows_loc, cfg=cfg, m_cap_loc=m_cap_loc,
+            interpret=interpret)
     geom = jax.lax.all_gather(jax.lax.stop_gradient(geom_loc), axis,
                               tiled=True)                       # (N,6)
     if transient == "replicated":

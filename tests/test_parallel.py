@@ -222,7 +222,7 @@ def test_prim_sharded_grads_match_single(rng):
                                rtol=1e-3, atol=5e-4)
 
 
-@pytest.mark.parametrize("transient", ["replicated", "ring"])
+@pytest.mark.parametrize("transient", ["replicated", "ring", "slab"])
 def test_sharded_storage_render_matches_single(rng, transient):
     """Gaussian-sharded storage + tile-row-sharded rendering: per-chip
     params are CAP/8 rows, per-chip binning covers only its tile rows, and
@@ -262,7 +262,7 @@ def test_sharded_storage_render_matches_single(rng, transient):
     assert int(out_s.num_pairs) > 0
 
 
-@pytest.mark.parametrize("transient", ["replicated", "ring"])
+@pytest.mark.parametrize("transient", ["replicated", "ring", "slab"])
 def test_sharded_storage_train_step_matches_single(rng, transient):
     """One sharded-storage train step == the single-chip step: same loss,
     same parameter update, same densify stats — with params, moments and
