@@ -101,21 +101,44 @@ def _ring_gather_entries(packed_loc, idx, inv_src, g_offsets, g_counts,
     return _ring_gather_impl(packed_loc, idx, static)
 
 
+# Ring loops unroll up to this D: unrolled steps let XLA double-buffer the
+# ppermute sends against the per-step gather/compute. Past it (pod-scale)
+# the unrolled graph's compile time grows linearly with D, so the loops
+# switch to fori_loop (one body; strictly serialized send/compute — the
+# overlap loss is bounded by one slab hop per step).
+_RING_UNROLL_MAX = 16
+
+
 def _ring_gather_impl(packed_loc, idx, static):
     axis, n_dev, m_cap = static
     rows = packed_loc.shape[0]
     k = jax.lax.axis_index(axis)
     fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    ent = jnp.zeros((idx.shape[0], packed_loc.shape[1]), packed_loc.dtype)
-    slab = packed_loc
-    for s in range(n_dev):
+
+    def step(s, ent, slab):
         owner = (k - s) % n_dev
         rel = idx - owner * rows
         inb = (rel >= 0) & (rel < rows)
-        ent = ent + jnp.where(inb[:, None],
-                              slab[jnp.where(inb, rel, 0)], 0.0)
-        if s < n_dev - 1:
-            slab = jax.lax.ppermute(slab, axis, fwd_perm)
+        return ent + jnp.where(inb[:, None],
+                               slab[jnp.where(inb, rel, 0)], 0.0)
+
+    ent = jnp.zeros((idx.shape[0], packed_loc.shape[1]), packed_loc.dtype)
+    slab = packed_loc
+    if n_dev <= _RING_UNROLL_MAX:
+        for s in range(n_dev):
+            ent = step(s, ent, slab)
+            if s < n_dev - 1:
+                slab = jax.lax.ppermute(slab, axis, fwd_perm)
+        return ent
+
+    def body(s, carry):
+        ent, slab = carry
+        ent = step(s, ent, slab)
+        # one extra hop after the last step — (N/D,16) once per frame,
+        # cheaper than a lax.cond around the collective
+        return ent, jax.lax.ppermute(slab, axis, fwd_perm)
+
+    ent, _ = jax.lax.fori_loop(0, n_dev, body, (ent, slab))
     return ent
 
 
@@ -145,12 +168,26 @@ def _ring_gather_bwd(static, res, d_aligned):
         hi = _prefix_at(intra, block_pre, L, bnd[dpos + 1])
         return hi - lo                                   # (rows, 16)
 
-    rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-    buf = partial_for((k + 1) % n_dev)
-    for s in range(1, n_dev):
-        buf = jax.lax.ppermute(buf, axis, rev_perm)
-        buf = buf + partial_for((k + 1 + s) % n_dev)
+    buf = _ring_reduce_scatter(partial_for, k, axis, n_dev)
     return buf, None, None, None, None, None
+
+
+def _ring_reduce_scatter(partial_for, k, axis, n_dev):
+    """buf ← Σ_chips partial_for(owner), delivered to each owner via the
+    reverse ring. Unrolled at small D (XLA overlaps send/compute),
+    fori_loop past _RING_UNROLL_MAX (bounded compile at pod-scale D)."""
+    rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def body(s, buf):
+        buf = jax.lax.ppermute(buf, axis, rev_perm)
+        return buf + partial_for((k + 1 + s) % n_dev)
+
+    buf = partial_for((k + 1) % n_dev)
+    if n_dev <= _RING_UNROLL_MAX:
+        for s in range(1, n_dev):
+            buf = body(s, buf)
+        return buf
+    return jax.lax.fori_loop(1, n_dev, body, buf)
 
 
 _ring_gather_entries.defvjp(_ring_gather_fwd, _ring_gather_bwd)
@@ -198,11 +235,7 @@ def _ring_gather_slab_bwd(static, res, d_aligned):
                         jnp.clip(start + cnt, 0, m_cap))
         return hi - lo                                   # (rows, 16)
 
-    rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-    buf = partial_for((k + 1) % n_dev)
-    for s in range(1, n_dev):
-        buf = jax.lax.ppermute(buf, axis, rev_perm)
-        buf = buf + partial_for((k + 1 + s) % n_dev)
+    buf = _ring_reduce_scatter(partial_for, k, axis, n_dev)
     return buf, None, None, None, None, None
 
 

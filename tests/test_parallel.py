@@ -420,3 +420,38 @@ def test_slab_bounds_balanced_beyond_sample_size():
         frac = counts / n
         assert (np.abs(frac - 1.0 / n_dev) < 0.05).all(), \
             f"n_dev={n_dev}: slab fractions {frac} far from uniform"
+
+
+def test_ring_fori_loop_form_matches_unrolled(rng, monkeypatch):
+    """Past _RING_UNROLL_MAX devices the ring gather/reduce-scatter loops
+    switch from unrolled ppermute steps to fori_loop (bounded compile at
+    pod-scale D). Force the fori path at D=8 and assert the sharded-storage
+    step still matches the single-chip step (both ring and slab modes)."""
+    from gsplat_tpu.parallel import sharded
+    monkeypatch.setattr(sharded, "_RING_UNROLL_MAX", 1)
+    W, H = TILE_W, 8 * TILE_H
+    g, cam = make_scene(rng, n=100, cap=128)
+    rcfg = cfg()
+    opt = OptimizationConfig()
+    mesh = make_mesh((("prim", N_DEV),))
+    state0 = trainer.init_state(g, 1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    ones = jnp.ones((1, H, W), jnp.float32)
+    zeros = jnp.zeros((1, H, W), jnp.float32)
+    bg = jnp.zeros(3)
+    state_1, aux_1 = trainer.train_step(
+        state0, cam, gt, ones, zeros, zeros, bg, image_width=W,
+        image_height=H, opt=opt, rcfg=rcfg, spatial_lr_scale=1.0,
+        antialiasing=False, use_sparse_adam=False, train_test_exp=False,
+        use_depth=False)
+    for transient in ("ring", "slab"):
+        step_fn = sharded.make_sharded_train_step(
+            mesh, image_width=W, image_height=H, opt=opt, rcfg=rcfg,
+            spatial_lr_scale=1.0, transient=transient)
+        state_s, aux_s = step_fn(sharded.shard_state(state0, mesh), cam,
+                                 gt, ones, zeros, zeros, bg)
+        np.testing.assert_allclose(float(aux_s.loss), float(aux_1.loss),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(state_s.gaussians.xyz),
+                                   np.asarray(state_1.gaussians.xyz),
+                                   rtol=1e-3, atol=5e-4)

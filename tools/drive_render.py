@@ -1,12 +1,16 @@
 """Drive the public render API end-to-end on a synthetic scene."""
-import sys, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 
-print("backend:", jax.default_backend(), jax.devices())
-
 import dataclasses
+# import the package BEFORE the first backend query: its GSPLAT_PLATFORM
+# env hook flips jax_platforms, which is ineffective once a query
+# initializes the default (TPU) backend
 from gsplat_tpu.config import RasterizerConfig
+
+print("backend:", jax.default_backend(), jax.devices())
 from gsplat_tpu.core.camera import CameraView
 from gsplat_tpu.models import gaussian_model as gm
 from gsplat_tpu.ops import rasterize
@@ -30,14 +34,41 @@ print("visible gaussians:", int(np.asarray((out.radii > 0).sum())),
 assert int(out.overflow) == 0, "pair list truncated — drive must not overflow"
 assert img.shape == (3, H, W) and img.max() > 0.05, "blank render!"
 
+# row-cull A/B on the SAME backend/impl: culled pairs are provably below
+# the compositor's alpha floor, so the image must match with row culling
+# off (the subset property, asserted on real hardware — interpret mode
+# cannot exercise the kernels' tail-DMA/revisit contracts). Not bitwise:
+# dropping pairs shifts chunk boundaries, so per-chunk f32 partial sums
+# reassociate (measured ≤ ~5e-7 absolute).
+out_nc = rasterize.render(
+    g, cam, W, H, bg_color=jnp.zeros(3),
+    cfg=dataclasses.replace(cfg, row_cull=not cfg.row_cull))
+np.testing.assert_allclose(img, np.asarray(out_nc.image),
+                           rtol=1e-5, atol=2e-6)
+print(f"row_cull A/B identical (pairs {int(out.num_pairs)} vs "
+      f"{int(out_nc.num_pairs)})")
+
 # gradient through the whole pipeline
 from gsplat_tpu.models.gaussian_model import trainables, with_trainables
-def loss(t_):
-    o = rasterize.render(with_trainables(g, t_), cam, W, H, bg_color=jnp.zeros(3), cfg=cfg, clamp=False)
+def loss(t_, c=cfg):
+    o = rasterize.render(with_trainables(g, t_), cam, W, H, bg_color=jnp.zeros(3), cfg=c, clamp=False)
     return jnp.abs(o.image - 0.5).mean()
 t0 = time.time()
 grads = jax.grad(loss)(trainables(g))
 gx = np.asarray(grads["xyz"])
 print(f"grad xyz: max|g|={np.abs(gx).max():.6f} nnz={np.count_nonzero(gx)} t={time.time()-t0:.1f}s")
 assert np.isfinite(gx).all() and np.abs(gx).max() > 0
+
+# cross-impl agreement in ONE process: the Pallas compositor (incl. the
+# MXU scan gather-VJP) against the pure-XLA oracle on the same inputs.
+if use_pallas:
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    out_x = rasterize.render(g, cam, W, H, bg_color=jnp.zeros(3), cfg=cfg_x)
+    np.testing.assert_allclose(img, np.asarray(out_x.image),
+                               rtol=1e-4, atol=2e-4)
+    gx_x = np.asarray(jax.grad(lambda t_: loss(t_, cfg_x))(trainables(g))["xyz"])
+    denom = np.abs(gx_x).max()
+    assert denom > 0 and np.abs(gx - gx_x).max() <= 0.01 * denom, \
+        f"pallas/xla grad mismatch: {np.abs(gx - gx_x).max():.3e} vs {denom:.3e}"
+    print("pallas vs xla: image ~1e-4, grads within 1% — OK")
 print("OK")
