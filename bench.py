@@ -153,9 +153,13 @@ def main():
     # (train/loop.py grows on overflow and shrinks toward ~1.3-1.5x the
     # running pair count — every binning/sort/gather/reduction pass costs
     # proportionally to this STATIC capacity)
-    no_cull = {"--no_row_cull", "--no-row_cull"} & set(sys.argv)
+    # row culling measured 26% SLOWER at this workload (r4 on-chip A/B:
+    # 12.3 vs 15.5 Mpx/s) — default follows RasterizerConfig (off);
+    # --row_cull opts in, --no_row_cull kept as an accepted no-op so the
+    # measurement scripts' A/B invocations stay valid either way.
+    row_cull = "--row_cull" in sys.argv
     rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0,
-                            row_cull=not no_cull)
+                            row_cull=row_cull)
     state = trainer.init_state(g, 1)
 
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))

@@ -102,8 +102,12 @@ class RasterizerConfig:
     # to the level-set ellipse's exact x-interval per tile row instead of
     # its full bounding rect. Conservative — the compositor's alpha_min cut
     # already zeroes everything dropped — so images are unchanged while the
-    # pair count (the dominant cost driver) shrinks.
-    row_cull: bool = True
+    # pair count shrinks. Default OFF: measured on-chip (r4, 1080p/200k
+    # bench) the culled expansion's extra binning passes cost more than the
+    # ~10% pair reduction saves — 12.3 Mpx/s culled vs 15.5 Mpx/s unculled.
+    # Worth enabling only for scenes with very anisotropic/huge splats
+    # where the rect expansion overshoots badly.
+    row_cull: bool = False
     # Static slots per gaussian for the culled expansion: row_slots-1
     # exact single tile rows + 1 tail block covering any remaining rows
     # (jointly culled). Purely a tightness/dense-work trade — tall splats

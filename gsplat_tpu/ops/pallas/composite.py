@@ -17,9 +17,12 @@ SURVEY.md §2.2). Layout decisions, driven by TPU hardware:
   row slices and backward gradient blocks are (G, 16) row slices — neither
   direction needs the ~8.5 ms (16,M)↔(M,16) HBM transpose the previous
   pixels-on-sublanes layout paid on both sides of the kernel.
-- Front-to-back transmittance inside a chunk is computed in log space with
-  a single (G,G)×(G,P) strict-lower-triangular matmul — the vector-parallel
-  equivalent of CUDA's sequential per-thread ``T *= (1-alpha)`` loop. The
+- Front-to-back transmittance inside a chunk is an exact-f32 multiplicative
+  prefix scan of (1−α) down the sublanes (log-step doubling on the VPU,
+  ``_sublane_scan``) — the vector-parallel equivalent of CUDA's sequential
+  per-thread ``T *= (1-alpha)`` loop. (The earlier log-space triangular-
+  matmul form needed ≥bf16x3 MXU passes to stay inside the oracle gate on
+  real hardware and paid a log1p/exp round-trip; see _sublane_scan.) The
   early-termination cut (T·(1−α) < 1e-4 checked *before* committing, CUDA
   parity) reduces to a per-pixel min over crossing sublanes.
 - Per-tile ranges are pre-aligned to G (ops/binning.py align=chunk): chunk
@@ -48,12 +51,32 @@ from jax.experimental.pallas import tpu as pltpu
 from gsplat_tpu.ops.composite_ref import CompositeOut
 
 
-def _tri_lower(G: int, strict: bool, dtype=jnp.float32):
-    """L[g, k] = 1 where k < g (strict) or k <= g: L @ (G,P) = prefix sums
-    down the sublane (gaussian) axis."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return ((c < r) if strict else (c <= r)).astype(dtype)
+def _sublane_scan(x, op, unit):
+    """Inclusive prefix scan down the sublane (gaussian) axis by log-step
+    doubling: ceil(log2 G) shifted-`op` rounds, exact f32 on the VPU.
+
+    Replaces the (G,G)×(G,P) triangular-matmul form: measured on-chip (r4)
+    the MXU matmul needs ≥bf16x3 passes to stay inside the oracle gate
+    (DEFAULT drifted the image 1.3e-3; HIGHEST fixed it but cost ~21% of
+    the whole train step), while this form is exact f32, costs only
+    log2(G) vector ops, and — used multiplicatively on (1−α) — deletes the
+    log1p/exp transcendental round-trip from the kernel entirely."""
+    G, P = x.shape
+    s = 1
+    while s < G:
+        pad = jnp.full((s, P), unit, x.dtype)
+        x = op(x, jnp.concatenate([pad, x[:-s]], axis=0))
+        s *= 2
+    return x
+
+
+def _prodscan_excl(x):
+    """(inclusive scan, exclusive scan) of products down sublanes: excl[g]
+    = ∏_{k<g} x[k] (row 0 = 1), incl[g] = ∏_{k<=g} x[k]."""
+    incl = _sublane_scan(x, jnp.multiply, 1.0)
+    excl = jnp.concatenate(
+        [jnp.ones((1, x.shape[1]), x.dtype), incl[:-1]], axis=0)
+    return incl, excl
 
 
 def _pixel_coords(t, n_tiles_x: int, tile_h: int, tile_w: int):
@@ -131,29 +154,25 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, entries_ref,
         valid = (rank0 + g_iota) < count                      # (G,1)
         a1 = jnp.where(valid & (alpha >= alpha_min) & (power <= 0.0),
                        alpha, 0.0)                            # (G,P)
-        lg = jnp.log1p(-a1)
-        # Precision note (applies to every dot in fwd+bwd kernels): these
-        # run at DEFAULT precision deliberately. The on-chip gate
-        # (tools/drive_render.py pallas vs xla, tpu_ci stages 1-2) holds
-        # the kernel to ~1e-4 image agreement against the f32 XLA oracle
-        # on real hardware — evidence Mosaic's in-kernel f32 dot is not
-        # the one-pass-bf16 XLA-conv trap (ops/ssim.py). HIGHEST would
-        # multiply the dominant per-chunk matmul cost for no measured
-        # accuracy need; revisit only if the drive agreement degrades.
-        t_excl = tcur * jnp.exp(
-            jnp.dot(_tri_lower(G, strict=True), lg,
-                    preferred_element_type=jnp.float32))      # (G,P)
+        # Transmittance by exact-f32 multiplicative prefix scan of (1−α)
+        # down the sublanes (see _sublane_scan note); incl = tcur-relative
+        # ∏_{k<=g}(1−α_k), excl the strict form. The remaining contraction
+        # dots stay on the MXU at HIGHEST — their FLOPs are negligible
+        # (K or output dim = 4) and bf16 rounding there shows in the image.
+        one_m = 1.0 - a1                                      # (G,P)
+        incl, excl = _prodscan_excl(one_m)
+        t_excl = tcur * excl                                  # (G,P)
         # early-termination cut: contributions stop AT the first sublane
         # where the post-commit GLOBAL transmittance would cross t_eps
-        # (CUDA parity). tinit is the transmittance arriving from nearer
-        # depth slabs (1 everywhere single-chip); it scales the cut test
-        # only — accumulation stays unit-T so the sharded merge stays
-        # differentiable.
+        # (CUDA parity); t_excl·(1−α) ≡ tcur·incl. tinit is the
+        # transmittance arriving from nearer depth slabs (1 everywhere
+        # single-chip); it scales the cut test only — accumulation stays
+        # unit-T so the sharded merge stays differentiable.
         if has_tinit:
             t_arr = tinit_ref[0]                              # (1,P)
-            cross = (a1 > 0.0) & (t_arr * t_excl * (1.0 - a1) < t_eps)
+            cross = (a1 > 0.0) & (t_arr * tcur * incl < t_eps)
         else:
-            cross = (a1 > 0.0) & (t_excl * (1.0 - a1) < t_eps)
+            cross = (a1 > 0.0) & (tcur * incl < t_eps)
         first_cross = jnp.min(jnp.where(cross, g_iota, G), axis=0,
                               keepdims=True)                  # (1,P)
         contrib = (a1 > 0.0) & (g_iota < first_cross) & jnp.logical_not(done)
@@ -161,9 +180,15 @@ def _fwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, entries_ref,
         col = data[:, 6:10]                                   # (G,4)
         new_accum = out_ref[0, :4] + jax.lax.dot_general(
             col, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (4,P)
-        lg2 = jnp.where(contrib, lg, 0.0)
-        st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=0, keepdims=True))
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (4,P)
+        # Committed-rows product ∏_{g<first_cross} (1−α_g) without a second
+        # scan: every factor is ≤1 so incl is non-increasing down rows, and
+        # the masked min over committed rows IS incl[first_cross−1] (1.0
+        # fill ⇒ tcur unchanged when nothing commits / pixel done).
+        commit = (g_iota < first_cross) & jnp.logical_not(done)
+        st_t[:] = tcur * jnp.min(jnp.where(commit, incl, 1.0), axis=0,
+                                 keepdims=True)
         new_done = done | jnp.any(cross, axis=0, keepdims=True)
         st_done[:] = new_done.astype(jnp.float32)
         rank1 = (rank0 + g_iota + 1).astype(jnp.float32)      # (G,1)
@@ -372,23 +397,24 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, out_idx_ref,
         keep = ((rank < count) & (alpha >= alpha_min) & (power <= 0.0)
                 & (rank.astype(jnp.float32) < nc))            # (G,P)
         a2 = jnp.where(keep, alpha, 0.0)
-        lg2 = jnp.log1p(-a2)
-        t_excl = tcur * jnp.exp(
-            jnp.dot(_tri_lower(G, strict=True), lg2,
-                    preferred_element_type=jnp.float32))      # (G,P)
+        # exact-f32 multiplicative prefix scan (see _sublane_scan note);
+        # incl[-1] is the whole-chunk product, reused for the st_t update.
+        incl, excl = _prodscan_excl(1.0 - a2)
+        t_excl = tcur * excl                                  # (G,P)
         w = t_excl * a2                                       # (G,P)
         col = data[:, 6:10]                                   # (G,4)
         gc = jax.lax.dot_general(col, g_acc, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (G,P)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)  # (G,P)
         u = w * gc
-        cum_incl = cum_u + jnp.dot(_tri_lower(G, strict=False), u,
-                                   preferred_element_type=jnp.float32)
+        cum_incl = cum_u + _sublane_scan(u, jnp.add, 0.0)     # (G,P)
         s_term = (p0 - cum_incl) + gt_tn                      # (G,P)
         one_m = jnp.where(keep, 1.0 - a2, 1.0)
         dl_da = jnp.where(keep, gc * t_excl - s_term / one_m, 0.0)
         # dL/dc_j (channel) = Σ_px w·g → (G,4), already in output layout
         d_col = jax.lax.dot_general(w, g_acc, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
         # CUDA-parity: gradient passes through the 0.99 alpha clamp.
         # (A moment-matmul variant — one (G,P)@(P,6) contraction against
         # [1,x,y,x²,y²,xy] replacing these six lane reductions — measured
@@ -408,7 +434,7 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, out_idx_ref,
         d_entries_ref[:] = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col,
              jnp.zeros((G, 6), jnp.float32)], axis=1)         # (G,16)
-        st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=0, keepdims=True))
+        st_t[:] = tcur * incl[G - 1:G]
         st_cumu[:] = cum_u + jnp.sum(u, axis=0, keepdims=True)
 
 

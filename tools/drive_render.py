@@ -38,13 +38,17 @@ assert img.shape == (3, H, W) and img.max() > 0.05, "blank render!"
 # the compositor's alpha floor, so the image must match with row culling
 # off (the subset property, asserted on real hardware — interpret mode
 # cannot exercise the kernels' tail-DMA/revisit contracts). Not bitwise:
-# dropping pairs shifts chunk boundaries, so per-chunk f32 partial sums
-# reassociate (measured ≤ ~5e-7 absolute).
+# dropping pairs shifts chunk boundaries, so per-chunk partial sums
+# reassociate — ≤ ~5e-7 absolute in exact-f32 CPU arithmetic, but up to
+# ~5e-5 on the chip where the log-transmittance triangular matmuls run on
+# the MXU (measured r4: max abs 4.98e-5 / rel 9.9e-5 — the kernel's
+# intrinsic precision, same scale the pallas-vs-xla check below allows).
 out_nc = rasterize.render(
     g, cam, W, H, bg_color=jnp.zeros(3),
     cfg=dataclasses.replace(cfg, row_cull=not cfg.row_cull))
-np.testing.assert_allclose(img, np.asarray(out_nc.image),
-                           rtol=1e-5, atol=2e-6)
+tol = dict(rtol=1e-4, atol=2e-4) if jax.default_backend() == "tpu" \
+    else dict(rtol=1e-5, atol=2e-6)
+np.testing.assert_allclose(img, np.asarray(out_nc.image), **tol)
 print(f"row_cull A/B identical (pairs {int(out.num_pairs)} vs "
       f"{int(out_nc.num_pairs)})")
 

@@ -54,8 +54,16 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
     cams = [ring_camera(a) for a in np.linspace(0, 2 * math.pi, 12,
                                                 endpoint=False)]
+    t_wall = time.time()
+
+    def mark(what):
+        print(f"[{time.time() - t_wall:6.0f}s] {what}", flush=True)
+
+    mark("rendering GT views (first = render compile)")
     gts = [jnp.clip(render(g_gt, c, W, H, bg, rcfg).image, 0, 1)
            for c in cams]
+    jax.block_until_ready(gts[-1])
+    mark("GT done")
     # llffhold-style split: every 4th view is test-only (never trained on)
     test_idx = set(range(0, len(cams), 4))
     train_ids = [i for i in range(len(cams)) if i not in test_idx]
@@ -79,8 +87,10 @@ def main():
             vals.append(float(losses.psnr(img[None], gts[i][None]).mean()))
         return float(np.mean(vals))
 
+    mark("initial PSNR (psnr-render compile)")
     p0_train = psnr_now(state, train_ids)
     p0_test = psnr_now(state, sorted(test_idx))
+    mark("entering train loop (first iter = train_step compile)")
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for it in range(1, iters + 1):
@@ -90,6 +100,9 @@ def main():
             image_width=W, image_height=H, opt=opt, rcfg=rcfg,
             spatial_lr_scale=2.0, antialiasing=False, use_sparse_adam=False,
             train_test_exp=False, use_depth=False)
+        if it == 1:
+            jax.block_until_ready(state.gaussians.xyz)
+            mark("first train iter done")
         if it > opt.densify_from_iter and it % opt.densification_interval == 0:
             key, sub = jax.random.split(key)
             state, ovf = trainer.densify_step(

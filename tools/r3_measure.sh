@@ -28,8 +28,8 @@ run() {  # run <logname> <cmd...>
 run drive_pallas   python -u tools/drive_render.py pallas
 run drive_xla      python -u tools/drive_render.py xla
 run drive_train    python -u tools/drive_train.py 300
-run bench_cull     python -u bench.py
-run bench_nocull   python -u bench.py --no_row_cull
+run bench_cull     python -u bench.py --row_cull
+run bench_nocull   python -u bench.py
 run bisect_binning python -u tools/bisect_binning.py
 run sweep_16x32x256 python -u tools/sweep_tiles.py 16 32 256
 run sweep_16x32x128 python -u tools/sweep_tiles.py 16 32 128
@@ -47,7 +47,7 @@ if timeout 7200 bash tools/soak_30k.sh 30000 "$OUT/soak" \
 PLY="$OUT/soak/model/point_cloud/iteration_30000/point_cloud.ply"
 if [ -f "$PLY" ]; then
   run bench_ply python -u bench.py --ply "$PLY"
-  run bench_ply_nocull python -u bench.py --ply "$PLY" --no_row_cull
+  run bench_ply_cull python -u bench.py --ply "$PLY" --row_cull
 fi
 
 echo "=== summary ==="
