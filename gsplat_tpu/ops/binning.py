@@ -22,8 +22,8 @@ Pipeline:
 2. expansion: marker-scatter + cumsum yields the entry→gaussian map and the
    per-entry rect parameters; tile id (and depth key, when not pre-sorted)
    are computed pointwise,
-3. per-tile counts via a 4-corner summed-area scatter over the tile grid
-   (each rect contributes ±1 at its corners; 2D cumsum = histogram),
+3. per-tile counts via an interval-indicator matmul on the MXU (rect
+   coverage is separable: count = ind_yᵀ @ ind_x, exact 0/1 arithmetic),
 4. one ``lax.sort`` — exact depth ordering,
 5. align: sorted entry p moves to padded_start[tile] + rank, where the shift
    is itself expanded by a diff-scatter + cumsum — one collision-free
@@ -149,8 +149,8 @@ class UnitExpansion(NamedTuple):
     offsets: jnp.ndarray       # (N,) exclusive per-gaussian entry starts
     uoffsets: jnp.ndarray      # (N·R,) per-UNIT exclusive starts
     total: jnp.ndarray         # () int32 real entries (pre-truncation)
-    corner_grid: jnp.ndarray   # (ty+1, tx+1) ±1 corners; 2D-cumsum it for
-    #   the per-tile histogram (additive across slabs)
+    count_grid: jnp.ndarray    # (ty, tx) per-tile entry counts
+    #   (additive across slabs)
 
 
 def _expand_units(mean2d, radius, rx, ry, *, n_tiles_x, n_tiles_y,
@@ -250,20 +250,27 @@ def _expand_units(mean2d, radius, rx, ry, *, n_tiles_x, n_tiles_y,
     tile = jnp.where(valid, tile, n_tiles)
     gidx = jnp.where(valid, gidx, n)                   # sentinel gaussian
 
-    # --- per-tile histogram: 4-corner summed-area scatter (unit-sized) ---
-    # (A K-sharded collision-reducing variant measured no change in the
-    # full program — the isolated ~8 ms stage cost overlaps away under
-    # XLA's scheduling; kept simple.)
-    one = (ucounts > 0).astype(jnp.int32)
-    u_y1, u_x1 = u_y0 + u_h, u_x0 + u_w
-    grid = jnp.zeros((n_tiles_y + 1, n_tiles_x + 1), jnp.int32)
-    grid = grid.at[u_y0, u_x0].add(one, mode="drop")
-    grid = grid.at[u_y0, u_x1].add(-one, mode="drop")
-    grid = grid.at[u_y1, u_x0].add(-one, mode="drop")
-    grid = grid.at[u_y1, u_x1].add(one, mode="drop")
+    # --- per-tile histogram: 0/1 interval-indicator matmul on the MXU ---
+    # count[ty,tx] = Σ_u [unit u covers (ty,tx)]; rect coverage is
+    # separable, so the whole histogram is ind_yᵀ @ ind_x with 0/1
+    # indicators — exact at any matmul precision (0/1 is exact in bf16,
+    # counts accumulate exactly in f32 below 2^24). Replaces the 4-corner
+    # ±1 summed-area scatter + 2D cumsum: duplicate-index scatters at unit
+    # size measured 8.2 ms on-chip (r4 bisect) vs MXU-trivial FLOPs here
+    # (U·(TY+TX) indicator build is the only bandwidth). Empty units
+    # (w or h = 0) have empty indicator intervals — no mask needed.
+    tyv = jnp.arange(n_tiles_y, dtype=jnp.int32)[None, :]
+    txv = jnp.arange(n_tiles_x, dtype=jnp.int32)[None, :]
+    ind_y = ((tyv >= u_y0[:, None]) & (tyv < (u_y0 + u_h)[:, None])
+             ).astype(jnp.float32)                     # (U, TY)
+    ind_x = ((txv >= u_x0[:, None]) & (txv < (u_x0 + u_w)[:, None])
+             ).astype(jnp.float32)                     # (U, TX)
+    count_grid = jax.lax.dot_general(
+        ind_y, ind_x, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     return UnitExpansion(tile=tile, gidx=gidx, counts=counts,
                          offsets=offsets, uoffsets=uoffsets, total=total,
-                         corner_grid=grid)
+                         count_grid=count_grid)
 
 
 def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
@@ -343,31 +350,20 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
     e_idx = jnp.arange(m_cap, dtype=jnp.int32)
     valid = e_idx < total
 
-    tile_count = jnp.cumsum(jnp.cumsum(ex.corner_grid, axis=0), axis=1)[
-        :n_tiles_y, :n_tiles_x].reshape(-1)
+    tile_count = ex.count_grid.reshape(-1)
     # With overflow, truncation invalidates the histogram; clamp so
     # ranges stay memory-safe (overflow frames are garbage by contract).
     tile_count = jnp.minimum(tile_count, m_cap)
     tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
-    # --- the entry sort ---
+    # --- the entry sort (+ pads-in-sort aligned layout, align > 1) ---
     # (An alignment-free compositor — per-visit tables instead of padded
     # per-tile ranges — was scoped out: its static visit grid needs
     # m_cap/G + 2T steps vs the aligned m_cap/G + T, and the extra T steps'
     # fixed cost cancels the padding savings. The chunk-aligned layout
     # stays.)
-    if sort_gaussians:
-        gbits = int(n).bit_length()                    # holds sentinel n too
-        if ((n_tiles << gbits) | n) < 2 ** 31:
-            # single packed key (tile ‖ depth-rank): 2 arrays instead of 4
-            key = (tile << gbits) | gidx
-            key_s, e_s = jax.lax.sort((key, e_idx), num_keys=1)
-            tile_s = key_s >> gbits
-            gidx_s = key_s & ((1 << gbits) - 1)
-        else:
-            tile_s, gidx_s, e_s = jax.lax.sort((tile, gidx, e_idx),
-                                               num_keys=2)
-    else:
+    dkey = None
+    if not sort_gaussians:
         # positive f32 ordering == int32 bit-pattern ordering (depth > 0);
         # per-UNIT values (slots repeat their gaussian's depth)
         dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
@@ -375,8 +371,6 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
             dbits = jnp.repeat(dbits, row_slots)
         dkey_e = _expand(dbits, uoffsets, m_cap)
         dkey = jnp.where(valid, dkey_e, jnp.iinfo(jnp.int32).max)
-        tile_s, _, gidx_s, e_s = jax.lax.sort((tile, dkey, gidx, e_idx),
-                                              num_keys=2)
 
     if align > 1:
         if pad_cap is None:
@@ -387,32 +381,46 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
         padded_start = (ends - padded_count).astype(jnp.int32)
         m_out = m_cap + pad_cap
         num_padded = ends[-1]
-        # the aligned layout is valid only while no tile's shift clamps —
-        # exactly max(shift) ≤ pad_cap. The previous num_padded >
-        # m_cap+pad_cap check under-detected whenever m_cap had slack:
-        # clamped shifts then silently misplaced entries with overflow
-        # still 0 (review-confirmed repro lives in test_rasterize.py).
-        shift_raw = padded_start - tile_start
-        overflow = jnp.maximum(overflow, jnp.max(shift_raw) - pad_cap)
-        # dest[p] = p + shift[tile of p]; the per-entry shift is expanded by
-        # the same diff-scatter + cumsum trick along the tile-sorted order.
-        shift = jnp.minimum(shift_raw, pad_cap)
-        shift_e = _expand(shift, tile_start, m_cap)
-        dest = e_idx + shift_e                         # sentinels land past
-        # dest is strictly increasing (position + a non-decreasing per-tile
-        # shift) — the sorted-indices hint takes the scatter off the random
-        # path (measured: the two align scatters were the largest single
-        # binning cost)
-        gidx_aligned = jnp.full((m_out,), n, jnp.int32).at[dest].set(
-            gidx_s, mode="drop", unique_indices=True,
-            indices_are_sorted=True)
-        # presort entry → aligned slot: lets the renderer's gather use a
-        # random GATHER + cumsum backward instead of a duplicate-index
-        # random scatter-add (on-chip, random gathers are ~7x cheaper than
-        # random scatters; this construction scatter has near-sorted e_s
-        # runs per tile, which hits the fast path)
-        inv_src = jnp.zeros((m_cap,), jnp.int32).at[e_s].set(
-            dest, mode="drop", unique_indices=True)
+        # Aligned layout via PADS-IN-SORT: synthesize pad_needed[t] sentinel
+        # entries for tile t (sentinel sort keys place them after the
+        # tile's real entries) and sort them WITH the real entries — the
+        # sorted output IS the chunk-aligned layout. Replaces the
+        # construction permutation scatter (measured 10.1 ms at the 1080p
+        # bench, the largest single binning cost; tools/experiments/
+        # align_ab.py) + the shift expansion with ~30% more sort rows.
+        pad_needed = padded_count - tile_count               # (T,)
+        total_pad = num_padded - jnp.sum(tile_count)
+        # every pad must materialize or per-tile starts shift — exact
+        # validity condition for this construction
+        overflow = jnp.maximum(overflow, total_pad - pad_cap)
+        pad_starts = (jnp.cumsum(pad_needed) - pad_needed).astype(jnp.int32)
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
+        pad_tile = _expand(tids, pad_starts, pad_cap)
+        pad_valid = jnp.arange(pad_cap, dtype=jnp.int32) < total_pad
+        pad_tile = jnp.where(pad_valid, pad_tile, n_tiles)
+        src_idx = jnp.arange(m_out, dtype=jnp.int32)
+        tile_all = jnp.concatenate([tile, pad_tile])
+        gidx_all = jnp.concatenate([gidx, jnp.full((pad_cap,), n, jnp.int32)])
+        gbits = int(n).bit_length()                    # holds sentinel n too
+        if sort_gaussians and ((n_tiles << gbits) | n) < 2 ** 31:
+            # single packed key (tile ‖ depth-rank): 2 arrays instead of 4
+            key_s, es2 = jax.lax.sort(
+                ((tile_all << gbits) | gidx_all, src_idx), num_keys=1)
+            gidx_aligned = key_s & ((1 << gbits) - 1)
+        elif sort_gaussians:
+            _, gidx_aligned, es2 = jax.lax.sort(
+                (tile_all, gidx_all, src_idx), num_keys=2)
+        else:
+            dkey_all = jnp.concatenate(
+                [dkey, jnp.full((pad_cap,), jnp.iinfo(jnp.int32).max,
+                                jnp.int32)])
+            _, _, gidx_aligned, es2 = jax.lax.sort(
+                (tile_all, dkey_all, gidx_all, src_idx), num_keys=2)
+        # presort entry → aligned slot (the renderer's gather-VJP map):
+        # scatter aligned positions back through the sort's source payload;
+        # pad sources (es2 ≥ m_cap) drop out of the m_cap-sized buffer
+        inv_src = jnp.zeros((m_cap,), jnp.int32).at[es2].set(
+            src_idx, mode="drop", unique_indices=True)
         # memory-safety clamp for overflow frames (see docstring)
         padded_start = jnp.minimum(padded_start, m_out - align)
         tile_count = jnp.minimum(tile_count, m_out - padded_start)
@@ -423,6 +431,19 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray, radius: jnp.ndarray,
                        inv_src=inv_src, g_offsets=offsets,
                        g_counts=counts, perm=perm)
 
+    if sort_gaussians:
+        gbits = int(n).bit_length()                    # holds sentinel n too
+        if ((n_tiles << gbits) | n) < 2 ** 31:
+            key_s, e_s = jax.lax.sort(((tile << gbits) | gidx, e_idx),
+                                      num_keys=1)
+            tile_s = key_s >> gbits
+            gidx_s = key_s & ((1 << gbits) - 1)
+        else:
+            tile_s, gidx_s, e_s = jax.lax.sort((tile, gidx, e_idx),
+                                               num_keys=2)
+    else:
+        tile_s, _, gidx_s, e_s = jax.lax.sort((tile, dkey, gidx, e_idx),
+                                              num_keys=2)
     return Binning(gidx_sorted=gidx_s, tile_sorted=tile_s,
                    tile_start=tile_start, tile_count=tile_count,
                    num_pairs=total, overflow=overflow,
@@ -458,7 +479,7 @@ class SlabExpansion(NamedTuple):
     counts: jnp.ndarray       # (n_loc,) entries per slab gaussian
     offsets: jnp.ndarray      # (n_loc,) ABSOLUTE presort starts
     #   (slab_base_entry + local exclusive offsets)
-    corner_grid: jnp.ndarray  # (ty+1, tx+1) ±1 corners (additive)
+    count_grid: jnp.ndarray   # (ty, tx) per-tile counts (additive)
     total: jnp.ndarray        # () int32 real entries of this slab
     overflow: jnp.ndarray     # () int32 entries dropped past m_slab
 
@@ -488,7 +509,7 @@ def expand_slab(mean2d, depth, radius, rx, ry, *, row_base, slab_base_entry,
     gidx = jnp.where(valid, row_base + ex.gidx, sentinel_row)
     return SlabExpansion(
         tile=ex.tile, dkey=dkey, gidx=gidx, counts=ex.counts,
-        offsets=slab_base_entry + ex.offsets, corner_grid=ex.corner_grid,
+        offsets=slab_base_entry + ex.offsets, count_grid=ex.count_grid,
         total=ex.total, overflow=jnp.maximum(ex.total - m_slab, 0))
 
 
@@ -512,13 +533,11 @@ def merge_slab_binning(slabs, *, sentinel_row: int, image_width: int,
     gidx = jnp.concatenate([s.gidx for s in slabs])
     total = sum(s.total for s in slabs)
     overflow = sum(s.overflow for s in slabs)
-    grid = sum(s.corner_grid for s in slabs)
+    grid = sum(s.count_grid for s in slabs)
     g_offsets = jnp.concatenate([s.offsets for s in slabs])
     g_counts = jnp.concatenate([s.counts for s in slabs])
 
-    tile_count = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
-        :n_tiles_y, :n_tiles_x].reshape(-1)
-    tile_count = jnp.minimum(tile_count, m_cap)
+    tile_count = jnp.minimum(grid.reshape(-1), m_cap)
     tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
     tile_s, _, gidx_s, e_s = jax.lax.sort((tile, dkey, gidx, e_idx),

@@ -17,12 +17,14 @@ SURVEY.md §2.2). Layout decisions, driven by TPU hardware:
   row slices and backward gradient blocks are (G, 16) row slices — neither
   direction needs the ~8.5 ms (16,M)↔(M,16) HBM transpose the previous
   pixels-on-sublanes layout paid on both sides of the kernel.
-- Front-to-back transmittance inside a chunk is an exact-f32 multiplicative
-  prefix scan of (1−α) down the sublanes (log-step doubling on the VPU,
-  ``_sublane_scan``) — the vector-parallel equivalent of CUDA's sequential
-  per-thread ``T *= (1-alpha)`` loop. (The earlier log-space triangular-
-  matmul form needed ≥bf16x3 MXU passes to stay inside the oracle gate on
-  real hardware and paid a log1p/exp round-trip; see _sublane_scan.) The
+- Front-to-back transmittance inside a chunk: the FORWARD uses an exact-f32
+  multiplicative prefix scan of (1−α) down the sublanes (log-step doubling
+  on the VPU, ``_sublane_scan``) — the vector-parallel equivalent of CUDA's
+  sequential per-thread ``T *= (1-alpha)`` loop; a log-space triangular
+  matmul needs ≥bf16x3 MXU passes to keep the image inside the oracle gate
+  on real hardware. The BACKWARD keeps the matmul form at DEFAULT
+  precision — its rounding lands on gradients (1% gate), where it is
+  measurably faster than two scans (see ``_tri_lower``). The
   early-termination cut (T·(1−α) < 1e-4 checked *before* committing, CUDA
   parity) reduces to a per-pixel min over crossing sublanes.
 - Per-tile ranges are pre-aligned to G (ops/binning.py align=chunk): chunk
@@ -49,6 +51,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.ops.composite_ref import CompositeOut
+
+
+def _tri_lower(G: int, strict: bool, dtype=jnp.float32):
+    """L[g, k] = 1 where k < g (strict) or k <= g: L @ (G,P) = prefix sums
+    down the sublane (gaussian) axis. BACKWARD-kernel only: its ~1e-3
+    relative rounding at DEFAULT matmul precision lands on gradients
+    (gate: within 1% of the oracle — passes), not the image; the forward
+    uses the exact _sublane_scan instead. Measured r4: scan-based bwd
+    31.5 ms vs matmul bwd 23.5 ms at the 1080p bench."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return ((c < r) if strict else (c <= r)).astype(dtype)
 
 
 def _sublane_scan(x, op, unit):
@@ -397,17 +411,20 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, out_idx_ref,
         keep = ((rank < count) & (alpha >= alpha_min) & (power <= 0.0)
                 & (rank.astype(jnp.float32) < nc))            # (G,P)
         a2 = jnp.where(keep, alpha, 0.0)
-        # exact-f32 multiplicative prefix scan (see _sublane_scan note);
-        # incl[-1] is the whole-chunk product, reused for the st_t update.
-        incl, excl = _prodscan_excl(1.0 - a2)
-        t_excl = tcur * excl                                  # (G,P)
+        # log-space triangular matmul at DEFAULT precision (see _tri_lower
+        # note: bwd-only — grads tolerate it, the image path does not)
+        lg2 = jnp.log1p(-a2)
+        t_excl = tcur * jnp.exp(
+            jnp.dot(_tri_lower(G, strict=True), lg2,
+                    preferred_element_type=jnp.float32))      # (G,P)
         w = t_excl * a2                                       # (G,P)
         col = data[:, 6:10]                                   # (G,4)
         gc = jax.lax.dot_general(col, g_acc, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)  # (G,P)
         u = w * gc
-        cum_incl = cum_u + _sublane_scan(u, jnp.add, 0.0)     # (G,P)
+        cum_incl = cum_u + jnp.dot(_tri_lower(G, strict=False), u,
+                                   preferred_element_type=jnp.float32)
         s_term = (p0 - cum_incl) + gt_tn                      # (G,P)
         one_m = jnp.where(keep, 1.0 - a2, 1.0)
         dl_da = jnp.where(keep, gc * t_excl - s_term / one_m, 0.0)
@@ -434,7 +451,7 @@ def _bwd_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, dma_ref, out_idx_ref,
         d_entries_ref[:] = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col,
              jnp.zeros((G, 6), jnp.float32)], axis=1)         # (G,16)
-        st_t[:] = tcur * incl[G - 1:G]
+        st_t[:] = tcur * jnp.exp(jnp.sum(lg2, axis=0, keepdims=True))
         st_cumu[:] = cum_u + jnp.sum(u, axis=0, keepdims=True)
 
 

@@ -17,7 +17,10 @@ cd "$(dirname "$0")/.."
 
 export PYTHONPATH="$PWD:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
-TIMEOUT="${TPU_CI_TIMEOUT:-1100}"
+# 1800s default: drive_train alone needs ~1300s when the compilation
+# cache is cold (measured r4: GT 148s + psnr 109s + step 110s of compile
+# at WARM cache; a cold cache blew the old 1100s limit outright)
+TIMEOUT="${TPU_CI_TIMEOUT:-1800}"
 MIN_VS="${MIN_VS_BASELINE:-1.0}"
 
 run() {
