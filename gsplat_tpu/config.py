@@ -121,6 +121,14 @@ class RasterizerConfig:
     # and every kernel grid step / M-sized pass scales with m_cap+pad_cap.
     pad_cap: int = -1
     chunk: int = 256                  # gaussians per kernel grid step
+    # Compositor kernel form: "chunk" = one Mosaic grid step per entry
+    # chunk (ops/pallas/composite.py); "stream" = strip grid — one step
+    # per strip_chunks chunks with a fori_loop over resident blocks
+    # (ops/pallas/composite_stream.py), removing the measured ~0.9 us
+    # per-chunk block machinery. Only affects the Pallas path; the slab
+    # t_init route always uses the chunk kernel.
+    compositor: str = "chunk"
+    strip_chunks: int = 64            # chunks per strip (stream form)
     alpha_min: float = 1.0 / 255.0    # contribution floor   [CUDA parity]
     alpha_max: float = 0.99           # alpha clamp          [CUDA parity]
     transmittance_eps: float = 1e-4   # early-out threshold  [CUDA parity]

@@ -98,6 +98,68 @@ def _expand(values: jnp.ndarray, offsets: jnp.ndarray, m: int) -> jnp.ndarray:
     return jnp.cumsum(buf)
 
 
+def _expand_multi(values_list, offsets, m: int, *, force: bool = False,
+                  interpret: bool = False):
+    """K fused ``_expand`` passes sharing ONE scan (K ≤ 5).
+
+    Each of XLA's 1D int32 cumsums costs ~2.6 ms at the 1080p entry count
+    (measured, tools/experiments/pallas_scan.py) and the expansion stage
+    runs three of them back to back — the largest single cost left in
+    binning after pads-in-sort (r5 bisect: 8.45 ms of ~14). On TPU the K
+    diff-scattered int32 buffers are instead split into base-2^11 limbs
+    (3 per value, so K ≤ 5 fits the 16-wide scan), run through the one
+    MXU-blocked (M,16) prefix kernel (ops/pallas/scan.py, ~1 ms at 2M),
+    and recombined with WRAPPING int32 shift-adds.
+
+    Exactness: within an L=4096 block each limb column's partial sums are
+    ≤ 4096·2047 < 2^24, exact in f32; the inter-block carry is added in
+    int32 where wraparound matches the mod-2^32 arithmetic the telescoping
+    diff construction already relies on; the final shift-add recombine is
+    mod-2^32 linear in the limbs, so it equals the true int32 cumsum
+    bit-for-bit (tested against _expand in test_binning_expand_multi).
+
+    STATUS — measured SLOWER end-to-end on-chip (r5): the fused form
+    regressed the 1080p bench step 114 → 164 ms. The (N,K)-row scatter
+    and the (B,16)→(M,16) block-prefix broadcast both lower poorly next
+    to XLA's plain 1D int32 scatter+cumsum. Kept (with its exactness
+    test) as the measured-and-rejected record; the hot path uses three
+    plain ``_expand`` calls. Only ``force=True`` reaches the limb path.
+    """
+    K = len(values_list)
+    assert 1 <= K <= 5, K
+    if not force:
+        return [_expand(v, offsets, m) for v in values_list]
+    from gsplat_tpu.ops.pallas.scan import blocked_cumsum_16
+    L = 4096
+    m_pad = -(-m // L) * L
+    dvs = []
+    for v in values_list:
+        dvs.append(jnp.concatenate([v[:1], v[1:] - v[:-1]]))
+    dv = jnp.stack(dvs, axis=1)                          # (N, K) int32
+    buf = jnp.zeros((m_pad, K), jnp.int32).at[offsets].add(
+        dv, mode="drop", indices_are_sorted=True)
+    ubuf = jax.lax.bitcast_convert_type(buf, jnp.uint32)
+    limbs = jnp.concatenate(
+        [(ubuf & jnp.uint32(0x7FF)).astype(jnp.float32),
+         ((ubuf >> 11) & jnp.uint32(0x7FF)).astype(jnp.float32),
+         (ubuf >> 22).astype(jnp.float32)], axis=1)      # (m_pad, 3K)
+    if 3 * K < 16:
+        limbs = jnp.pad(limbs, ((0, 0), (0, 16 - 3 * K)))
+    intra, block_tot = blocked_cumsum_16(limbs, L=L,
+                                         interpret=interpret)  # f32 exact
+    intra_i = intra.astype(jnp.int32)                    # < 2^24: exact
+    tot_i = block_tot.astype(jnp.int32)                  # (B, 16)
+    pre_i = jnp.cumsum(tot_i, axis=0) - tot_i            # wrapping int32
+    full = intra_i + jnp.repeat(pre_i, L, axis=0)        # (m_pad, 16)
+    outs = []
+    for k in range(K):
+        v = (full[:, k]
+             + (full[:, K + k] << 11)
+             + (full[:, 2 * K + k] << 22))               # wraps: mod 2^32
+        outs.append(v[:m])
+    return outs
+
+
 def _slot_x_interval(mu_x, mu_y, ca, cb, cc, t, y_top, n_px):
     """Exact x-interval [u_lo, u_hi] (relative to mu_x, in pixels) where the
     level-set ellipse {d : dᵀ·conic·d ≤ t} meets the pixel-row span
@@ -226,21 +288,24 @@ def _expand_units(mean2d, radius, rx, ry, *, n_tiles_x, n_tiles_y,
         else uoffsets.reshape(n, row_slots)[:, 0]
 
     # --- expansion (gather-free; see module docstring) ---
-    gidx = _expand(gv, uoffsets, m_cap)
-    off_e = _expand(uoffsets, uoffsets, m_cap)
     # rect base (corner tile id) and width share one cumsum — wraparound-
     # exact packing saves an M-sized pass. The width field must hold
     # u_w ∈ [1, n_tiles_x]: size it from the grid (a hardcoded 2^7 would
     # silently corrupt tile ids for n_tiles_x ≥ 128, e.g. 16px tiles at
     # ≥2K wide). Packing fits int32 comfortably up to ~8K renders; beyond
-    # that fall back to a second unpacked expansion pass.
+    # that fall back to a second unpacked expansion pass. All the M-sized
+    # cumsums fuse into ONE MXU-blocked limb scan on TPU (_expand_multi).
     wmult = 1 << int(n_tiles_x).bit_length()           # wmult > n_tiles_x
     if (n_tiles - 1) * wmult + n_tiles_x < 2 ** 31:
         bw = (u_y0 * n_tiles_x + u_x0) * wmult + jnp.maximum(u_w, 1)
+        gidx = _expand(gv, uoffsets, m_cap)
+        off_e = _expand(uoffsets, uoffsets, m_cap)
         bw_e = _expand(bw, uoffsets, m_cap)
         base_e = bw_e // wmult
         w_e = bw_e - base_e * wmult
     else:
+        gidx = _expand(gv, uoffsets, m_cap)
+        off_e = _expand(uoffsets, uoffsets, m_cap)
         base_e = _expand(u_y0 * n_tiles_x + u_x0, uoffsets, m_cap)
         w_e = _expand(jnp.maximum(u_w, 1), uoffsets, m_cap)
 

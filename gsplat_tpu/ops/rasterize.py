@@ -192,6 +192,16 @@ def composite_dispatch(entries, tile_start, tile_count,
     library callers. ``t_init`` (T,P): transmittance arriving from nearer
     depth slabs, scaling the early-out test only (prim_shard exact cut)."""
     if use_pallas_resolved(cfg):
+        if cfg.compositor == "stream" and t_init is None:
+            from gsplat_tpu.ops.pallas.composite_stream import \
+                composite_tiles_stream
+            return composite_tiles_stream(
+                entries, tile_start, tile_count,
+                n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=cfg.tile_h,
+                tile_w=cfg.tile_w, chunk=cfg.chunk,
+                strip_chunks=cfg.strip_chunks, alpha_min=cfg.alpha_min,
+                alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
+                interpret=interpret, tile_id_base=tile_id_base)
         from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
         return composite_tiles_pallas(
             entries, tile_start, tile_count,
@@ -247,6 +257,18 @@ def render(gaussians: GaussianParams,
     if m_cap is None:
         m_cap = int(cap * cfg.pairs_per_gaussian)
     m_cap = -(-m_cap // cfg.chunk) * cfg.chunk
+    if cfg.compositor == "stream" and use_pallas_resolved(cfg):
+        # The strip grid needs the padded layout to be a whole number of
+        # strips; grow m_cap (never pad_cap — bin_gaussians clamps that to
+        # align*n_tiles) so no runtime concat is needed.
+        from gsplat_tpu.ops.pallas.composite_stream import \
+            pad_chunks_to_strips
+        pc = cfg.pad_cap if cfg.pad_cap >= 0 \
+            else cfg.chunk * n_tiles_x * n_tiles_y
+        pc = min(-(-pc // cfg.chunk) * cfg.chunk,
+                 cfg.chunk * n_tiles_x * n_tiles_y)
+        m_cap = pad_chunks_to_strips(m_cap + pc, cfg.chunk,
+                                     cfg.strip_chunks) - pc
 
     pre = preprocess_lib.preprocess(
         gaussians.xyz, gaussians.get_scaling(), gaussians.get_rotation(),

@@ -159,6 +159,58 @@ def test_pallas_backward_matches_xla_autodiff(rng):
     assert np.abs(np.asarray(grads_ref[1])).max() > 0
 
 
+def test_stream_compositor_forward_matches_xla(rng):
+    """Strip-grid streaming compositor (ops/pallas/composite_stream.py) ==
+    the XLA oracle through the full render() path, including the m_cap
+    strip-rounding the stream route performs."""
+    W, H = 2 * TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=400)
+    out_ref = rasterize.render(g, cam, W, H, bg_color=jnp.full(3, 0.3),
+                               cfg=cfg(use_pallas=False), clamp=False)
+    out_st = rasterize.render(
+        g, cam, W, H, bg_color=jnp.full(3, 0.3),
+        cfg=cfg(use_pallas=True, compositor="stream", strip_chunks=4),
+        clamp=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_st.image),
+                               np.asarray(out_ref.image),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_st.invdepth),
+                               np.asarray(out_ref.invdepth),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_stream_compositor_backward_matches_xla(rng):
+    W, H = TILE_W, 2 * TILE_H
+    g, cam = make_scene(rng, n=200)
+    tap = jnp.zeros((g.capacity, 2), jnp.float32)
+
+    def loss_fn(use_pallas):
+        target = jnp.linspace(0, 1, 3 * H * W).reshape(3, H, W)
+
+        def loss(params_and_tap):
+            trains, tap = params_and_tap
+            params = gm.with_trainables(g, trains)
+            out = rasterize.render(
+                params, cam, W, H, bg_color=jnp.full(3, 0.25),
+                cfg=cfg(use_pallas=use_pallas, compositor="stream",
+                        strip_chunks=4),
+                mean2d_tap=tap, clamp=False, interpret=True)
+            return (jnp.abs(out.image - target).mean()
+                    + 0.1 * jnp.abs(out.invdepth).mean())
+        return loss
+
+    grads_ref = jax.grad(loss_fn(False))((gm.trainables(g), tap))
+    grads_st = jax.grad(loss_fn(True))((gm.trainables(g), tap))
+    for name in ["xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(grads_st[0][name]), np.asarray(grads_ref[0][name]),
+            rtol=5e-3, atol=1e-6, err_msg=f"grad mismatch for {name}")
+    np.testing.assert_allclose(np.asarray(grads_st[1]),
+                               np.asarray(grads_ref[1]),
+                               rtol=5e-3, atol=1e-6)
+
+
 def test_xla_gradients_finite_difference(rng):
     """Spot finite-difference check of the full differentiable pipeline."""
     W, H = TILE_W, TILE_H
@@ -181,6 +233,27 @@ def test_xla_gradients_finite_difference(rng):
         fd = (float(loss_of_xyz(g.xyz + e)) - float(loss_of_xyz(g.xyz - e))) / (2 * eps)
         an = float(grad[i, j])
         assert abs(fd - an) <= 1e-3 * max(1.0, abs(fd)) + 1e-5, (i, j, fd, an)
+
+
+def test_binning_expand_multi_matches_expand(rng):
+    """The fused limb-scan expansion (one MXU blocked scan for K int32
+    cumsums) must be bit-exact against the scalar _expand — including
+    int32 wraparound in the telescoping diffs (large uoffsets values)."""
+    n, m = 700, 16384
+    counts = rng.integers(0, 40, n).astype(np.int32)
+    offsets = (np.cumsum(counts) - counts).astype(np.int32)
+    vals = [
+        jnp.asarray(rng.integers(0, n, n).astype(np.int32)),
+        jnp.asarray(offsets),
+        # near-int32-max values exercise the mod-2^32 telescoping
+        jnp.asarray(rng.integers(-2**31, 2**31 - 1, n).astype(np.int32)),
+    ]
+    off = jnp.asarray(offsets)
+    want = [binning_lib._expand(v, off, m) for v in vals]
+    got = binning_lib._expand_multi(vals, off, m, force=True,
+                                    interpret=True)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
 
 
 def test_binning_overflow_reporting(rng):

@@ -75,4 +75,17 @@ if use_pallas:
     assert denom > 0 and np.abs(gx - gx_x).max() <= 0.01 * denom, \
         f"pallas/xla grad mismatch: {np.abs(gx - gx_x).max():.3e} vs {denom:.3e}"
     print("pallas vs xla: image ~1e-4, grads within 1% — OK")
+
+    # strip-grid streaming compositor against the same oracle (the r5
+    # kernel form; hardware-only behaviors — fori-loop grid walk, strip
+    # DMA, dynamic-slice reads — cannot be exercised in interpret mode)
+    cfg_s = dataclasses.replace(cfg, compositor="stream", strip_chunks=16)
+    out_s = rasterize.render(g, cam, W, H, bg_color=jnp.zeros(3), cfg=cfg_s)
+    np.testing.assert_allclose(np.asarray(out_s.image),
+                               np.asarray(out_x.image),
+                               rtol=1e-4, atol=2e-4)
+    gx_s = np.asarray(jax.grad(lambda t_: loss(t_, cfg_s))(trainables(g))["xyz"])
+    assert np.abs(gx_s - gx_x).max() <= 0.01 * denom, \
+        f"stream/xla grad mismatch: {np.abs(gx_s - gx_x).max():.3e}"
+    print("stream vs xla: image ~1e-4, grads within 1% — OK")
 print("OK")

@@ -8,7 +8,8 @@ Chained-loop timing (state feeds state; see memory: unchained identical
 calls are elided by the axon backend).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
-         python tools/sweep_tiles.py <tile_h> <tile_w> <chunk>
+         python tools/sweep_tiles.py <tile_h> <tile_w> <chunk> \
+           [compositor] [strip_chunks]
 """
 import dataclasses
 import os
@@ -30,11 +31,14 @@ def main():
     from gsplat_tpu.train import trainer
 
     th, tw, chunk = (int(a) for a in sys.argv[1:4])
+    compositor = sys.argv[4] if len(sys.argv) > 4 else "chunk"
+    strip = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     on_tpu = jax.default_backend() == "tpu"
     W, H = (1920, 1080) if on_tpu else (256, 128)
     n = 200_000 if on_tpu else 2_000
     print(f"backend={jax.default_backend()} {W}x{H} n={n} "
-          f"tile={th}x{tw} chunk={chunk}", flush=True)
+          f"tile={th}x{tw} chunk={chunk} comp={compositor} strip={strip}",
+          flush=True)
 
     rng = np.random.default_rng(0)
     pts = rng.standard_normal((n, 3)).astype(np.float32) * 2.0
@@ -48,7 +52,8 @@ def main():
     cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
     opt = OptimizationConfig()
     rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0,
-                            tile_h=th, tile_w=tw, chunk=chunk)
+                            tile_h=th, tile_w=tw, chunk=chunk,
+                            compositor=compositor, strip_chunks=strip)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
     ones = jnp.ones((1, H, W), jnp.float32)
@@ -96,7 +101,8 @@ def main():
         best = min(best, time.perf_counter() - t0)
     assert int(ovf) == 0
     dt = best / iters
-    print(f"RESULT tile={th}x{tw} chunk={chunk} step={dt * 1e3:.2f} ms "
+    print(f"RESULT tile={th}x{tw} chunk={chunk} comp={compositor} "
+          f"strip={strip} step={dt * 1e3:.2f} ms "
           f"px/s={W * H / dt:.3e} vs_baseline={W * H / dt / 1.4e7:.3f}",
           flush=True)
 
