@@ -120,15 +120,25 @@ class RasterizerConfig:
     # reported num_padded — expected use is ~chunk/2 per non-empty tile,
     # and every kernel grid step / M-sized pass scales with m_cap+pad_cap.
     pad_cap: int = -1
-    chunk: int = 256                  # gaussians per kernel grid step
+    chunk: int = 64                   # gaussians per kernel grid step
     # Compositor kernel form: "chunk" = one Mosaic grid step per entry
     # chunk (ops/pallas/composite.py); "stream" = strip grid — one step
     # per strip_chunks chunks with a fori_loop over resident blocks
     # (ops/pallas/composite_stream.py), removing the measured ~0.9 us
     # per-chunk block machinery. Only affects the Pallas path; the slab
     # t_init route always uses the chunk kernel.
-    compositor: str = "chunk"
-    strip_chunks: int = 64            # chunks per strip (stream form)
+    #
+    # Defaults are the r5 on-chip optimum (tools/sweep_tiles.py, 1080p
+    # 200k-gaussian train step): stream/64/256 = 114.5 ms vs the r4
+    # chunk/256 default's 135.2 ms. The finer chunk shrinks alignment
+    # padding ~4x (m_out 2.34M -> 1.81M at 1.25M pairs) and tightens the
+    # early-out granularity; only the strip grid makes chunk=64 viable
+    # (the chunk grid would pay its ~0.9 us fixed cost 25k times/pass).
+    # Sweeps: chunk 32 = 123.9 ms (thin (G,P) blocks), chunk 256 stream
+    # = 137.6 ms; strip 128/256/512 within noise; tiles 16x16 / 8x32
+    # regress (pair count balloons 1.6-2.3x at P/2).
+    compositor: str = "stream"
+    strip_chunks: int = 256           # chunks per strip (stream form)
     alpha_min: float = 1.0 / 255.0    # contribution floor   [CUDA parity]
     alpha_max: float = 0.99           # alpha clamp          [CUDA parity]
     transmittance_eps: float = 1e-4   # early-out threshold  [CUDA parity]

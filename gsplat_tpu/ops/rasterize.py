@@ -68,20 +68,35 @@ def pack_entries(pre: preprocess_lib.Preprocessed) -> jnp.ndarray:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _gather_entries(packed, gidx, inv_src, g_offsets, g_counts, m_cap):
-    """entries = packed[gidx], with an efficient hand-written backward.
+    """entries = packed[gidx], with a hand-written backward.
 
-    The plain gather's VJP is a duplicate-index random scatter-add over the
-    multi-million entry list (~127 ms measured at 1080p; TPU random scatters
-    are ~7x slower than random gathers). Because binning knows the
-    presort→aligned permutation (``inv_src``) and entries of one gaussian
-    are contiguous presort, the backward is instead: gather d back into
-    presort order, one cumsum, and a per-gaussian difference of boundary
-    prefix sums."""
+    The backward is ONE duplicate-index scatter-add at ``gidx`` — the
+    direct transpose. Two properties make it the right TPU form (r5
+    on-chip A/B, tools/experiments/gather_ab.py at m=1.63M: scatter-add
+    27.5 ms vs 21.4 gather + ~12 scan/boundary for the r2-r4 presort
+    prefix-difference chain it replaces):
+
+    - every dead aligned slot (pads, past-num_padded tail — including
+      slots the chunk-grid backward kernel's dead-chunk DMA skip leaves
+      as recycled HBM garbage) carries the SENTINEL gaussian id, so its
+      row (finite or not) lands in the sentinel row of d_packed, which
+      every caller discards (render()'s pack_entries concat drops the
+      zero-row cotangent). No tail-zeroing contract needed.
+    - XLA's TPU scatter-add is deterministic (no atomics), so grads are
+      run-to-run identical, reassociated at worst vs the oracle (~7
+      f32 addends per gaussian; well inside the pallas-vs-xla test
+      tolerances).
+
+    ``inv_src``/``g_offsets``/``g_counts`` stay in the signature for the
+    sharded ring path (parallel/sharded.py), whose backward still uses the
+    presort prefix-difference form (masked_presort_prefix below): its
+    per-gaussian rows reduce-scatter across shards, where boundary
+    differences compose with the ring and a duplicate scatter would not."""
     return packed[gidx]
 
 
 def _gather_entries_fwd(packed, gidx, inv_src, g_offsets, g_counts, m_cap):
-    return packed[gidx], (inv_src, g_offsets, g_counts, packed.shape[0])
+    return packed[gidx], (gidx, packed.shape[0])
 
 
 def _blocked_prefix(d_presort, m_cap):
@@ -149,22 +164,10 @@ def masked_presort_prefix_slabs(d_aligned, inv_src, slab_totals, m_slab,
 
 
 def _gather_entries_bwd(m_cap, res, d_aligned):
-    inv_src, g_offsets, g_counts, n_rows = res
+    gidx, n_rows = res
     width = d_aligned.shape[1]
-    total = jnp.clip(g_offsets[-1] + g_counts[-1], 0, m_cap)
-    intra, block_pre, L = masked_presort_prefix(d_aligned, inv_src, total,
-                                                m_cap)
-
-    # Per-gaussian sums as ONE boundary-gather pass: entries of gaussian g
-    # occupy [offsets[g], offsets[g+1]) presort (offsets is the exclusive
-    # cumsum of counts), so rows[g] = cs(offsets[g+1]) − cs(offsets[g])
-    # with cs(j) = inclusive prefix of the first j entries.
-    bnd = jnp.clip(jnp.concatenate([g_offsets, total[None]]), 0, m_cap)
-    cs_b = _prefix_at(intra, block_pre, L, bnd)         # (N+1, width)
-    d_rows = cs_b[1:] - cs_b[:-1]                       # (N, width)
-    d_packed = jnp.concatenate(
-        [d_rows, jnp.zeros((n_rows - d_rows.shape[0], width),
-                           d_aligned.dtype)], axis=0)
+    d_packed = jnp.zeros((n_rows, width), d_aligned.dtype).at[gidx].add(
+        d_aligned, mode="drop")
     return d_packed, None, None, None, None
 
 

@@ -593,47 +593,34 @@ def test_pad_cap_overflow_detected(rng):
         "clamped shifts are corrupting the aligned layout silently")
 
 
-def test_gather_vjp_masks_unwritten_tail(monkeypatch):
-    """_gather_entries_bwd zeroes presort rows past the real entry count
-    BEFORE the prefix scan. Those rows alias backward-kernel output blocks
-    the dead-chunk DMA skip never writes — recycled HBM bits on hardware.
-    The XLA cumsum never surfaces them, but the MXU scan kernel multiplies
-    them by literal zeros and 0·NaN poisons the whole block (invisible in
-    interpret mode, which zero-fills buffers) — so the contract is checked
-    here by spying on the scan's input with a NaN-poisoned tail."""
+def test_gather_vjp_routes_garbage_to_sentinel():
+    """The scatter-add gather-VJP's garbage contract: dead aligned slots
+    (pads, past-num_padded tail — on hardware the chunk-grid backward
+    kernel's dead-chunk DMA skip leaves them as recycled HBM bits, NaN in
+    the worst case) all carry the SENTINEL gaussian id, so their rows —
+    finite or not — must land ONLY in the sentinel row of d_packed (which
+    render()'s pack_entries concat-VJP discards). Real rows must come out
+    as exact per-gaussian segment sums, unpolluted."""
     from gsplat_tpu.ops import rasterize as rz
     rng = np.random.default_rng(3)
     width, n = 16, 5
     counts = np.array([3, 0, 7, 2, 1], np.int32)
-    offsets = (np.cumsum(counts) - counts).astype(np.int32)
     total = int(counts.sum())                               # 13
-    m_cap = 64
     m_out = 96
-    # presort slot i < total maps to a written aligned slot (identity is
-    # fine); the sentinel tail maps to NEVER-WRITTEN slots carrying NaN
-    inv_src = np.concatenate([np.arange(total),
-                              np.full(m_cap - total, m_out - 1)]
-                             ).astype(np.int32)
+    # aligned layout: real entries first (gaussian ids repeated per count,
+    # any order), every dead slot carrying the sentinel id n
+    gidx = np.concatenate([np.repeat(np.arange(n), counts),
+                           np.full(m_out - total, n)]).astype(np.int32)
     d_aligned = np.full((m_out, width), np.nan, np.float32)
     d_aligned[:total] = rng.standard_normal((total, width)).astype(np.float32)
 
-    captured = {}
-    orig = rz._blocked_prefix
-
-    def spy(d, m):
-        captured["d"] = d
-        return orig(d, m)
-
-    monkeypatch.setattr(rz, "_blocked_prefix", spy)
     d_packed, *_ = rz._gather_entries_bwd(
-        m_cap, (jnp.asarray(inv_src), jnp.asarray(offsets),
-                jnp.asarray(counts), n + 1), jnp.asarray(d_aligned))
-    seen = np.asarray(captured["d"])
-    assert np.isfinite(seen).all() and (seen[total:] == 0).all(), \
-        "rows past total must be zeroed before the MXU scan"
+        m_out, (jnp.asarray(gidx), n + 1), jnp.asarray(d_aligned))
     got = np.asarray(d_packed)
-    assert np.isfinite(got).all()
-    # per-gaussian sums must equal the written rows' segment sums
+    assert got.shape == (n + 1, width)
+    assert np.isfinite(got[:n]).all(), \
+        "dead-slot garbage leaked out of the sentinel row"
+    offsets = np.cumsum(counts) - counts
     for g in range(n):
         expect = d_aligned[offsets[g]:offsets[g] + counts[g]].sum(axis=0) \
             if counts[g] else np.zeros(width, np.float32)

@@ -51,7 +51,8 @@ def main():
         opacity=g.opacity.at[:].set(0.0))
     cam = CameraView.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.9)
     opt = OptimizationConfig()
-    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0,
+    ppg0 = float(os.environ.get("SWEEP_PPG", "10.0"))
+    rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=ppg0,
                             tile_h=th, tile_w=tw, chunk=chunk,
                             compositor=compositor, strip_chunks=strip)
     bg = jnp.zeros(3, jnp.float32)
