@@ -118,6 +118,45 @@ def _alpha_terms(data, px, py):
     return dx, dy, power, alpha_raw
 
 
+def _alpha_terms_local(data, pxl, pyl, ox, oy):
+    """``_alpha_terms`` in TILE-LOCAL coordinates (pxl/pyl (1,P) are pixel
+    centers relative to the tile origin ox/oy; the mean shifts to (G,1)
+    mxl = mx − ox). Same values to ≤1 ulp — tile-local dx is in fact the
+    tighter form: |mxl| ≤ radius + tile_w for any binned pair, so the
+    subtraction rounds at ulp(radius+32) instead of ulp(1920). The
+    quadratic uses the 6-FMA Horner split q = dx·(ca·dx + cb·dy) +
+    dy·(cb·dx + cc·dy) (exact same reassociation class as the expanded
+    form, 2 fewer VPU ops per (G,P) element). Returns (dx, dy, mxl, myl,
+    power, alpha_raw)."""
+    mxl = data[:, 0:1] - ox
+    myl = data[:, 1:2] - oy
+    ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
+    op = data[:, 5:6]
+    dx = pxl - mxl
+    dy = pyl - myl
+    u = ca * dx + cb * dy
+    v = cb * dx + cc * dy
+    power = -0.5 * (dx * u + dy * v)
+    alpha_raw = op * jnp.exp(jnp.minimum(power, 0.0))
+    return dx, dy, mxl, myl, power, alpha_raw
+
+
+def _local_coords(tile_h: int, tile_w: int):
+    """(1,P) TILE-LOCAL pixel centers (row-major pixels within the tile).
+    Tile-id independent — hoistable out of per-chunk loops; pair with the
+    tile origin from ``_tile_origin`` for global positioning."""
+    P = tile_h * tile_w
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    return ((p % tile_w).astype(jnp.float32),
+            (p // tile_w).astype(jnp.float32))
+
+
+def _tile_origin(t, n_tiles_x: int, tile_h: int, tile_w: int):
+    """Scalar (ox, oy) pixel origin of tile t, as f32."""
+    return ((t % n_tiles_x) * tile_w).astype(jnp.float32), \
+        ((t // n_tiles_x) * tile_h).astype(jnp.float32)
+
+
 from gsplat_tpu.ops.binning import chunk_tables  # noqa: F401  (shared with
 #   the XLA oracle compositor; moved to binning.py, re-exported here for
 #   existing importers)

@@ -53,9 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 from gsplat_tpu.ops.binning import chunk_tables
 from gsplat_tpu.ops.composite_ref import CompositeOut
 from gsplat_tpu.ops.pallas.composite import (
-    _alpha_terms,
-    _pixel_coords,
+    _alpha_terms_local,
+    _local_coords,
     _prodscan_excl,
+    _tile_origin,
     _tri_lower,
 )
 
@@ -87,6 +88,7 @@ def _fwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
     # 5 n_contrib (exact in f32 below 2^24). st_done: (1,P) 0/1/2 flag
     # (2 = whole-tile early out).
     s = pl.program_id(0)
+    pxl, pyl = _local_coords(tile_h, tile_w)      # tile-independent (1,P)
 
     def body(lc, _):
         j = s * C + lc
@@ -106,12 +108,13 @@ def _fwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 
         @pl.when(live)
         def _step():
-            px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
+            ox, oy = _tile_origin(t, n_tiles_x, tile_h, tile_w)
             g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
             data = entries_ref[pl.ds(lc * G, G), :]              # (G,16)
             tcur = st[4:5]                                       # (1,P)
             done = st_done[:] > 0.0                              # (1,P)
-            _, _, power, alpha_raw = _alpha_terms(data, px, py)
+            _, _, _, _, power, alpha_raw = _alpha_terms_local(
+                data, pxl, pyl, ox, oy)
             alpha = jnp.minimum(alpha_raw, alpha_max)
             valid = (rank0 + g_iota) < count                     # (G,1)
             a1 = jnp.where(valid & (alpha >= alpha_min) & (power <= 0.0),
@@ -229,6 +232,12 @@ def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
                       C: int, G: int, P: int, n_tiles_x: int, tile_h: int,
                       tile_w: int, alpha_min: float, alpha_max: float):
     s = pl.program_id(0)
+    pxl, pyl = _local_coords(tile_h, tile_w)      # tile-independent (1,P)
+    # (r5 measured-and-rejected: contracting the six per-gaussian grad
+    # reductions against a (8,P) moment basis in ONE MXU dot regressed the
+    # step 109 → 118 ms — the K=P, N=8 contraction runs the 128-wide MXU
+    # at 6% output utilization, slower than the VPU lane-reduce trees it
+    # replaced. The reductions stay elementwise+tree below.)
 
     def body(lc, _):
         j = s * C + lc
@@ -245,7 +254,7 @@ def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 
         @pl.when(rank0 < count)
         def _step():
-            px, py = _pixel_coords(t, n_tiles_x, tile_h, tile_w)
+            ox, oy = _tile_origin(t, n_tiles_x, tile_h, tile_w)
             g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
             data = entries_ref[pl.ds(lc * G, G), :]               # (G,16)
             tb = tile_ref[lc]                                     # (11,P)
@@ -259,7 +268,8 @@ def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 
             tcur = st_t[:]
             cum_u = st_cumu[:]
-            dx, dy, power, alpha_raw = _alpha_terms(data, px, py)
+            dx, dy, _, _, power, alpha_raw = _alpha_terms_local(
+                data, pxl, pyl, ox, oy)
             alpha = jnp.minimum(alpha_raw, alpha_max)
             rank = rank0 + g_iota
             keep = ((rank < count) & (alpha >= alpha_min) & (power <= 0.0)
@@ -283,14 +293,18 @@ def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
             d_col = jax.lax.dot_general(w, g_acc, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32,
                                         precision=jax.lax.Precision.HIGHEST)
-            dl_dpow = jnp.where(keep, dl_da * alpha_raw, 0.0)
-            d_op = jnp.sum(jnp.where(keep,
-                                     dl_da * jnp.exp(jnp.minimum(power, 0.0)),
-                                     0.0), axis=1, keepdims=True)
+            dl_dpow = dl_da * alpha_raw            # dl_da already masked
+            # d_op·op = Σ dl_da·exp = Σ dl_dpow (alpha_raw = op·exp); any
+            # kept entry has op ≥ alpha (≥ alpha_min), so the division is
+            # bounded; op below the floor ⇒ nothing kept ⇒ m0 == 0.
+            ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
+            op = data[:, 5:6]
+            m0 = jnp.sum(dl_dpow, axis=1, keepdims=True)
+            d_op = jnp.where(op >= alpha_min, m0 / jnp.maximum(op, 1e-6),
+                             0.0)
             d_ca = jnp.sum(dl_dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
             d_cb = jnp.sum(dl_dpow * (-dx * dy), axis=1, keepdims=True)
             d_cc = jnp.sum(dl_dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
-            ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
             d_mx = jnp.sum(dl_dpow * (ca * dx + cb * dy), axis=1,
                            keepdims=True)
             d_my = jnp.sum(dl_dpow * (cc * dy + cb * dx), axis=1,
