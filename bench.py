@@ -158,8 +158,10 @@ def main():
     # --row_cull opts in, --no_row_cull kept as an accepted no-op so the
     # measurement scripts' A/B invocations stay valid either way.
     row_cull = "--row_cull" in sys.argv
+    moments = sys.argv[sys.argv.index("--moments") + 1] \
+        if "--moments" in sys.argv else RasterizerConfig.moments
     rcfg = RasterizerConfig(use_pallas=on_tpu, pairs_per_gaussian=10.0,
-                            row_cull=row_cull)
+                            row_cull=row_cull, moments=moments)
     state = trainer.init_state(g, 1)
 
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))

@@ -139,6 +139,12 @@ class RasterizerConfig:
     # regress (pair count balloons 1.6-2.3x at P/2).
     compositor: str = "stream"
     strip_chunks: int = 256           # chunks per strip (stream form)
+    # Stream-backward per-gaussian grad reductions: "vpu" = exact
+    # elementwise+tree lane reduces; "mxu" = one (G,P)x(P,8) moment-basis
+    # dot at bf16x3 about the tile-local origin, shifted to the mean on
+    # (G,1) data afterwards (~5e-4 worst-case relative on conic GRADIENTS
+    # for 1-px splats; see composite_stream.py _bwd_strip_kernel notes).
+    moments: str = "vpu"
     alpha_min: float = 1.0 / 255.0    # contribution floor   [CUDA parity]
     alpha_max: float = 0.99           # alpha clamp          [CUDA parity]
     transmittance_eps: float = 1e-4   # early-out threshold  [CUDA parity]

@@ -230,14 +230,32 @@ def composite_fwd_stream(entries, tile_start, tile_count, tile_base, *,
 def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
                       tile_ref, d_ref, st_t, st_cumu, *,
                       C: int, G: int, P: int, n_tiles_x: int, tile_h: int,
-                      tile_w: int, alpha_min: float, alpha_max: float):
+                      tile_w: int, alpha_min: float, alpha_max: float,
+                      moments: str):
     s = pl.program_id(0)
     pxl, pyl = _local_coords(tile_h, tile_w)      # tile-independent (1,P)
-    # (r5 measured-and-rejected: contracting the six per-gaussian grad
-    # reductions against a (8,P) moment basis in ONE MXU dot regressed the
-    # step 109 → 118 ms — the K=P, N=8 contraction runs the 128-wide MXU
-    # at 6% output utilization, slower than the VPU lane-reduce trees it
-    # replaced. The reductions stay elementwise+tree below.)
+    # moments="mxu": contract the six per-gaussian grad reductions against
+    # a (8,P) moment basis in one MXU contraction at bf16x3 (manual hi/lo
+    # splits — Mosaic lowers only DEFAULT/HIGHEST), with moments taken
+    # about the TILE-LOCAL origin and shifted to the mean afterwards on
+    # (G,1) data (bf16x3 keeps the shift cancellation ≤ ~5e-4 relative on
+    # conic GRADIENTS for 1-px splats). MEASURED-AND-REJECTED on-chip
+    # (r5 bench A/B): mxu 17.9 Mpx/s vs vpu 19.2 — the K=P, N=8
+    # contraction runs the 128-wide MXU at 6% output utilization and the
+    # per-chunk hi/lo splits add VPU work; at HIGHEST the dot costs +9 ms
+    # more. "vpu" (default) keeps the exact elementwise+tree form; the
+    # flag stays as the documented, tested experiment switch.
+    basis_h = basis_l = None
+    if moments == "mxu":
+        basis = jnp.concatenate([
+            jnp.ones((1, P), jnp.float32), pxl, pyl,
+            pxl * pxl, pxl * pyl, pyl * pyl,
+            jnp.zeros((2, P), jnp.float32)], axis=0)
+        # Mosaic lowers only DEFAULT/HIGHEST dot precisions, so bf16x3 is
+        # spelled manually: hi/lo bf16 splits, drop the lo·lo term. The
+        # basis split is loop-invariant (hoisted here, one-time cost).
+        basis_h = basis.astype(jnp.bfloat16)
+        basis_l = (basis - basis_h.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def body(lc, _):
         j = s * C + lc
@@ -268,7 +286,7 @@ def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 
             tcur = st_t[:]
             cum_u = st_cumu[:]
-            dx, dy, _, _, power, alpha_raw = _alpha_terms_local(
+            dx, dy, mxl, myl, power, alpha_raw = _alpha_terms_local(
                 data, pxl, pyl, ox, oy)
             alpha = jnp.minimum(alpha_raw, alpha_max)
             rank = rank0 + g_iota
@@ -299,16 +317,44 @@ def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
             # bounded; op below the floor ⇒ nothing kept ⇒ m0 == 0.
             ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
             op = data[:, 5:6]
-            m0 = jnp.sum(dl_dpow, axis=1, keepdims=True)
+            if moments == "mxu":
+                dims = (((1,), (1,)), ((), ()))
+                w_h = dl_dpow.astype(jnp.bfloat16)
+                w_l = (dl_dpow - w_h.astype(jnp.float32)) \
+                    .astype(jnp.bfloat16)
+                mom = (jax.lax.dot_general(
+                           w_h, basis_h, dims,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           w_h, basis_l, dims,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           w_l, basis_h, dims,
+                           preferred_element_type=jnp.float32))   # (G,8)
+                m0 = mom[:, 0:1]
+                s_x = mom[:, 1:2] - mxl * m0       # Σ w·dx (dx = x − mxl)
+                s_y = mom[:, 2:3] - myl * m0
+                s_xx = mom[:, 3:4] - mxl * (mom[:, 1:2] + s_x)  # Σ w·dx²
+                s_xy = mom[:, 4:5] - mxl * mom[:, 2:3] - myl * s_x
+                s_yy = mom[:, 5:6] - myl * (mom[:, 2:3] + s_y)
+                d_ca = -0.5 * s_xx
+                d_cb = -s_xy
+                d_cc = -0.5 * s_yy
+                d_mx = ca * s_x + cb * s_y
+                d_my = cc * s_y + cb * s_x
+            else:
+                m0 = jnp.sum(dl_dpow, axis=1, keepdims=True)
+                d_ca = jnp.sum(dl_dpow * (-0.5 * dx * dx), axis=1,
+                               keepdims=True)
+                d_cb = jnp.sum(dl_dpow * (-dx * dy), axis=1, keepdims=True)
+                d_cc = jnp.sum(dl_dpow * (-0.5 * dy * dy), axis=1,
+                               keepdims=True)
+                d_mx = jnp.sum(dl_dpow * (ca * dx + cb * dy), axis=1,
+                               keepdims=True)
+                d_my = jnp.sum(dl_dpow * (cc * dy + cb * dx), axis=1,
+                               keepdims=True)
             d_op = jnp.where(op >= alpha_min, m0 / jnp.maximum(op, 1e-6),
                              0.0)
-            d_ca = jnp.sum(dl_dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
-            d_cb = jnp.sum(dl_dpow * (-dx * dy), axis=1, keepdims=True)
-            d_cc = jnp.sum(dl_dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
-            d_mx = jnp.sum(dl_dpow * (ca * dx + cb * dy), axis=1,
-                           keepdims=True)
-            d_my = jnp.sum(dl_dpow * (cc * dy + cb * dx), axis=1,
-                           keepdims=True)
             d_ref[pl.ds(lc * G, G), :] = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col,
                  jnp.zeros((G, 6), jnp.float32)], axis=1)
@@ -323,7 +369,7 @@ def _bwd_strip_kernel(ct_ref, rank0_ref, cnt_ref, base_ref, entries_ref,
 def composite_bwd_stream(entries, tile_start, tile_count, tile_base, accum,
                          t_final, nc, g_accum, g_t, *, n_tiles_x, n_tiles_y,
                          tile_h, tile_w, chunk, strip_chunks, alpha_min,
-                         alpha_max, interpret):
+                         alpha_max, moments, interpret):
     """d_entries (M,16). Every row is written (dead chunks write zeros) —
     the strip form has no unwritten-tail contract; the gather-VJP's
     masked_presort_prefix tail zeroing stays valid either way."""
@@ -350,7 +396,7 @@ def composite_bwd_stream(entries, tile_start, tile_count, tile_base, accum,
     kernel = functools.partial(
         _bwd_strip_kernel, C=C, G=G, P=P, n_tiles_x=n_tiles_x,
         tile_h=tile_h, tile_w=tile_w, alpha_min=alpha_min,
-        alpha_max=alpha_max)
+        alpha_max=alpha_max, moments=moments)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -382,15 +428,21 @@ def composite_bwd_stream(entries, tile_start, tile_count, tile_base, accum,
 # ---------------------------------------------------------------- public op
 
 
+def _fwd_kwargs(static):
+    kw = dict(static)
+    kw.pop("moments")                  # backward-only knob
+    return kw
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _composite_s(entries, tile_start, tile_count, tile_base, static):
     return composite_fwd_stream(entries, tile_start, tile_count, tile_base,
-                                **static)
+                                **_fwd_kwargs(static))
 
 
 def _composite_s_fwd(entries, tile_start, tile_count, tile_base, static):
     out = composite_fwd_stream(entries, tile_start, tile_count, tile_base,
-                               **static)
+                               **_fwd_kwargs(static))
     accum, t_final, nc = out
     return out, (entries, tile_start, tile_count, tile_base, accum,
                  t_final, nc)
@@ -420,8 +472,8 @@ class _HashableDict(dict):
 def composite_tiles_stream(entries, tile_start, tile_count, *, n_tiles_x,
                            n_tiles_y, tile_h, tile_w, chunk=64,
                            strip_chunks=256, alpha_min=1.0 / 255.0,
-                           alpha_max=0.99, t_eps=1e-4, interpret=False,
-                           tile_id_base=0) -> CompositeOut:
+                           alpha_max=0.99, t_eps=1e-4, moments="vpu",
+                           interpret=False, tile_id_base=0) -> CompositeOut:
     """Same contract as composite_tiles_pallas; entries row count must be
     a whole number of strips (pad_chunks_to_strips — rasterize.py sizes
     pad_cap so this holds without a runtime concat)."""
@@ -430,7 +482,7 @@ def composite_tiles_stream(entries, tile_start, tile_count, *, n_tiles_x,
         n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tile_h=tile_h,
         tile_w=tile_w, chunk=chunk, strip_chunks=strip_chunks,
         alpha_min=alpha_min, alpha_max=alpha_max, t_eps=t_eps,
-        interpret=interpret)
+        moments=moments, interpret=interpret)
     base = jnp.reshape(jnp.asarray(tile_id_base, jnp.int32), (1,))
     accum, t_final, nc = _composite_s(entries, tile_start, tile_count,
                                       base, static)

@@ -204,7 +204,8 @@ def composite_dispatch(entries, tile_start, tile_count,
                 tile_w=cfg.tile_w, chunk=cfg.chunk,
                 strip_chunks=cfg.strip_chunks, alpha_min=cfg.alpha_min,
                 alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
-                interpret=interpret, tile_id_base=tile_id_base)
+                moments=cfg.moments, interpret=interpret,
+                tile_id_base=tile_id_base)
         from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
         return composite_tiles_pallas(
             entries, tile_start, tile_count,

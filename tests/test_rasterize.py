@@ -180,7 +180,11 @@ def test_stream_compositor_forward_matches_xla(rng):
 
 
 @pytest.mark.slow
-def test_stream_compositor_backward_matches_xla(rng):
+@pytest.mark.parametrize("moments", ["vpu", "mxu"])
+def test_stream_compositor_backward_matches_xla(rng, moments):
+    """moments="mxu" validates the moment-basis contraction + tile-local→
+    mean shift algebra (exact in f32 under interpret; on-chip it runs
+    bf16x3 — see composite_stream.py _bwd_strip_kernel notes)."""
     W, H = TILE_W, 2 * TILE_H
     g, cam = make_scene(rng, n=200)
     tap = jnp.zeros((g.capacity, 2), jnp.float32)
@@ -194,7 +198,7 @@ def test_stream_compositor_backward_matches_xla(rng):
             out = rasterize.render(
                 params, cam, W, H, bg_color=jnp.full(3, 0.25),
                 cfg=cfg(use_pallas=use_pallas, compositor="stream",
-                        strip_chunks=4),
+                        strip_chunks=4, moments=moments),
                 mean2d_tap=tap, clamp=False, interpret=True)
             return (jnp.abs(out.image - target).mean()
                     + 0.1 * jnp.abs(out.invdepth).mean())

@@ -103,33 +103,63 @@ def main():
     entries = f_gather(pre, b)
     timeit("pack+gather", f_gather, pre, b)
 
-    # --- stage 4: composite fwd only
+    # --- stage 3b: gather backward (the one duplicate scatter-add)
+    @jax.jit
+    def f_gather_vjp(pre, b, entries):
+        perm_ext = jnp.concatenate(
+            [b.perm, jnp.full((1,), pre.mean2d.shape[0], jnp.int32)])
+        _, vjp = jax.vjp(lambda e: e[b.gidx_sorted],
+                         pack_entries(pre)[perm_ext])
+        return vjp(entries)[0]
+    f_gather_vjp(pre, b, entries)
+    timeit("gather VJP (scatter-add)", f_gather_vjp, pre, b, entries)
+
+    # --- stage 4: composite fwd/bwd — whatever kernel form rcfg selects
+    # (stream by default; composite_dispatch routes exactly as render())
     n_tiles_x = -(-W // tw)
     n_tiles_y = -(-H // th)
     if on_tpu:
-        from gsplat_tpu.ops.pallas.composite import composite_tiles_pallas
+        from gsplat_tpu.ops.rasterize import composite_dispatch
+
+        # the stream grid needs whole strips: re-bin at the padded extent
+        # render() would use (stream path rounds m_cap up, pad_cap capped)
+        if rcfg.compositor == "stream":
+            from gsplat_tpu.ops.pallas.composite_stream import \
+                pad_chunks_to_strips
+            pc = rcfg.chunk * n_tiles_x * n_tiles_y
+            mc2 = pad_chunks_to_strips(m_cap + pc, rcfg.chunk,
+                                       rcfg.strip_chunks) - pc
+
+            @jax.jit
+            def f_bin2(pre):
+                return binning_lib.bin_gaussians(
+                    pre.mean2d, pre.depth, pre.radius, rx=pre.rx, ry=pre.ry,
+                    image_width=W, image_height=H,
+                    tile_h=th, tile_w=tw, m_cap=mc2, align=rcfg.chunk,
+                    sort_gaussians=True)
+            b = f_bin2(pre)
+            entries = f_gather(pre, b)
 
         @jax.jit
         def f_comp(entries, ts, tc):
-            return composite_tiles_pallas(
-                entries, ts, tc, n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y,
-                tile_h=th, tile_w=tw, chunk=rcfg.chunk)
+            return composite_dispatch(entries, ts, tc, rcfg,
+                                      n_tiles_x=n_tiles_x,
+                                      n_tiles_y=n_tiles_y)
         out = f_comp(entries, b.tile_start, b.tile_count)
-        timeit("composite fwd (pallas)", f_comp, entries, b.tile_start,
-               b.tile_count)
+        timeit(f"composite fwd ({rcfg.compositor})", f_comp, entries,
+               b.tile_start, b.tile_count)
 
         @jax.jit
         def f_comp_bwd(entries, ts, tc):
             def loss(e):
-                o = f_comp.__wrapped__(e, ts, tc) if False else \
-                    composite_tiles_pallas(
-                        e, ts, tc, n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y,
-                        tile_h=th, tile_w=tw, chunk=rcfg.chunk)
+                o = composite_dispatch(e, ts, tc, rcfg,
+                                       n_tiles_x=n_tiles_x,
+                                       n_tiles_y=n_tiles_y)
                 return jnp.sum(o.accum) + jnp.sum(o.t_final)
             return jax.grad(loss)(entries)
         f_comp_bwd(entries, b.tile_start, b.tile_count)
-        timeit("composite fwd+bwd (pallas)", f_comp_bwd, entries,
-               b.tile_start, b.tile_count)
+        timeit(f"composite fwd+bwd ({rcfg.compositor})", f_comp_bwd,
+               entries, b.tile_start, b.tile_count)
 
     # --- full render fwd
     @jax.jit
