@@ -87,12 +87,15 @@ class RasterizerConfig:
     tile_h × tile_w is the pixel tile used for binning AND the Pallas
     composite block. Pixels live on sublanes and gaussians on lanes inside
     the kernel, so the tile shape is free of the 128-lane constraint.
-    16×32 measured fastest end-to-end at 1080p (vs 16×16: ~38% fewer
-    (tile,depth) pairs and half the chunk-grid steps outweigh the doubled
-    per-entry compositing work; vs CUDA's 16×16, the TPU kernel's fixed
-    per-chunk cost rewards larger tiles).
+    32×32 measured fastest end-to-end at 1080p (r5 on-chip sweep, stream
+    compositor: 99.8 ms/step vs 16×32's 110.8 — the −36% pair count cuts
+    every M-proportional pass (the ~17 ns/row XLA scatter/gather wall,
+    binning, gather-VJP) by more than the doubled per-entry compositing
+    work costs; 16×64 = 104.4 ms, 32×64 OOMs the backward's (C,11,P)
+    block at P=2048; vs CUDA's 16×16, the TPU kernel's per-chunk fixed
+    cost and the scatter wall both reward larger tiles).
     """
-    tile_h: int = 16
+    tile_h: int = 32
     tile_w: int = 32
     # Static capacity of the duplicated (tile,depth)-key list; the host
     # adapts it (grow on overflow + retry, shrink when over-provisioned)

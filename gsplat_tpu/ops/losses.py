@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from gsplat_tpu.ops.ssim import ssim  # re-export
+from gsplat_tpu.ops.ssim import fast_ssim, ssim  # re-export
 
 
 def l1_loss(network_output: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

@@ -93,6 +93,17 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     return jnp.mean(ssim_map(img1, img2, window_size))
 
 
-# The reference exposes `fast_ssim` backed by the fused CUDA kernels
-# (loss_utils.py:89-91); on TPU the XLA path above IS the fused path.
-fast_ssim = ssim
+def fast_ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+              window_size: int = 11) -> jnp.ndarray:
+    """Training-loss SSIM, mirroring the reference's `fast_ssim` backed by
+    the fused-ssim CUDA submodule (loss_utils.py:89-91): on TPU a fused
+    whole-channel-in-VMEM Pallas kernel (ops/pallas/ssim_kernel.py,
+    measured 9.0 → 1.3 ms fwd+bwd at 1080p). Like the CUDA fused kernel
+    (train-only contract), ``img2`` is treated as a CONSTANT — gradients
+    flow to ``img1`` only. Falls back to the XLA form off-TPU or for
+    non-(C,H,W) inputs."""
+    if jax.default_backend() == "tpu" and img1.ndim == 3 \
+            and img1.dtype == jnp.float32:
+        from gsplat_tpu.ops.pallas.ssim_kernel import ssim_fused
+        return ssim_fused(img1, img2, window_size=window_size)
+    return ssim(img1, jax.lax.stop_gradient(img2), window_size)

@@ -30,7 +30,8 @@ from gsplat_tpu.models.gaussian_model import GaussianParams
 from gsplat_tpu.ops import binning as binning_lib
 from gsplat_tpu.ops import preprocess as preprocess_lib
 from gsplat_tpu.ops.rasterize import (_gather_entries, _tiles_to_image,
-                                      composite_dispatch, pack_entries)
+                                      composite_dispatch, pack_entries,
+                                      use_pallas_resolved)
 
 
 def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
@@ -60,6 +61,15 @@ def render_tile_sharded(gaussians: GaussianParams, cam: CameraView,
         m_cap = int(cap * cfg.pairs_per_gaussian)
     # per-chip capacity: 1/D of the total with an imbalance margin
     m_loc = -(-int(m_cap * 1.5 / n_dev) // cfg.chunk) * cfg.chunk
+    if cfg.compositor == "stream" and use_pallas_resolved(cfg):
+        # the strip grid needs the padded layout (m_loc + the local
+        # default pad_cap) to be a whole number of strips — same
+        # rounding render() applies to its m_cap
+        from gsplat_tpu.ops.pallas.composite_stream import \
+            pad_chunks_to_strips
+        pc = cfg.chunk * n_tiles_x * rows_loc
+        m_loc = pad_chunks_to_strips(m_loc + pc, cfg.chunk,
+                                     cfg.strip_chunks) - pc
 
     def shard_fn(trainables, active, sh_degree, cam):
         # replicated params, per-window cotangents → explicit psum backward

@@ -116,7 +116,7 @@ def camera_loss_grads(g: gm.GaussianParams, exposure_all, cam: CameraView,
                      exposure=exposure)
         image = out.image * alpha_mask
         l1 = losses.l1_loss(image, gt_image)
-        ssim_v = losses.ssim(image, gt_image)
+        ssim_v = losses.fast_ssim(image, gt_image)
         loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
         dl1 = jnp.abs((out.invdepth - invdepth_gt) * depth_mask).mean()
         loss = loss + jnp.where(depth_w > 0, depth_w * dl1, 0.0) * use_depth

@@ -201,6 +201,38 @@ def test_ssim_matches_torch_reference(rng):
     np.testing.assert_allclose(ours, want, rtol=2e-5, atol=2e-6)
 
 
+def test_fused_ssim_kernel_matches_xla(rng):
+    """The Pallas fused-SSIM kernel (ops/pallas/ssim_kernel.py — the
+    train-loss path on TPU, reference fused-ssim analogue) == the XLA
+    form, forward and img1 gradients, including a non-uniform upstream
+    cotangent (the per-pixel map case) and the variance clamp."""
+    from gsplat_tpu.ops import ssim as ssim_lib
+    from gsplat_tpu.ops.pallas.ssim_kernel import (
+        ssim_fused, ssim_map_fused, _Static)
+
+    a = jnp.asarray(rng.uniform(0, 1, (3, 37, 53)).astype(np.float32))
+    b = jnp.asarray(
+        np.clip(np.asarray(a) + 0.1 * rng.standard_normal(
+            (3, 37, 53)).astype(np.float32), 0, 1))
+
+    ref = float(ssim_lib.ssim(a, b))
+    got = float(ssim_fused(a, b, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    gref = jax.grad(lambda x: ssim_lib.ssim(x, b))(a)
+    ggot = jax.grad(lambda x: ssim_fused(x, b, interpret=True))(a)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                               rtol=2e-4, atol=1e-6)
+
+    wts = jnp.asarray(rng.uniform(0, 1, (3, 37, 53)).astype(np.float32))
+    st = _Static(window_size=11, sigma=1.5, c1=0.01 ** 2, c2=0.03 ** 2,
+                 interpret=True)
+    g2 = jax.grad(lambda x: jnp.sum(ssim_map_fused(x, b, st) * wts))(a)
+    g2r = jax.grad(lambda x: jnp.sum(ssim_lib.ssim_map(x, b) * wts))(a)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2r),
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_checkpoint_roundtrip_npz_and_orbax(tmp_path, rng):
     """Save/restore the full TrainState through both backends."""
     from gsplat_tpu.models import gaussian_model as gm
